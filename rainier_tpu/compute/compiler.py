@@ -1,0 +1,234 @@
+"""Lowering Real DAGs to XLA-compiled callables.
+
+Counterpart of compute/Compiler.scala + compute/Target.scala +
+ir/CompiledFunction.scala + ir/DataFunction.scala — collapsed to ~150 lines
+because tracing the DAG with JAX *is* the compiler: XLA performs the CSE
+(Translator.scala SymCache), method packing (Packer.scala), register
+allocation (VarTypes.scala) and native code emission (MethodGenerator /
+ClassGenerator / GeneratedClassLoader) that the reference hand-rolls in
+bytecode.  The gradient is not a graph-to-graph transform
+(compute/Gradient.scala) but ``jax.grad`` of the lowered function — the
+adjoint rules coincide.
+
+Layout contract (analogue of DataFunction's input layout,
+ir/MethodGenerator.scala:169-181): the flat parameter vector ``q`` packs
+every latent in *creation order*; a scalar Parameter takes one slot, a
+VectorParameter(k) takes k contiguous slots.  Data columns are passed as a
+tuple of device arrays, NOT baked into the program, so one compiled density
+serves any same-shaped dataset (and can be donated/sharded).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from . import interp
+from . import real as R
+
+
+def find_parameters(roots: Sequence[R.Real]) -> list[R.Real]:
+    """All Parameter/VectorParameter leaves reachable from roots,
+    transitively through their priors, in creation order
+    (cf. TargetGroup.findParameters, compute/Target.scala:82-129)."""
+    found: dict[int, R.Real] = {}
+    frontier = list(roots)
+    seen_roots: set[int] = set()
+    while frontier:
+        root = frontier.pop()
+        if id(root) in seen_roots:
+            continue
+        seen_roots.add(id(root))
+        for node in R.topological([root]):
+            if isinstance(node, (R.Parameter, R.VectorParameter)):
+                if node.id not in found:
+                    found[node.id] = node
+                    if node.prior is not None:
+                        frontier.append(node.prior)
+    return [found[i] for i in sorted(found)]
+
+
+def find_columns(roots: Sequence[R.Real]) -> list[R.Real]:
+    cols: dict[int, R.Real] = {}
+    for node in R.topological(list(roots)):
+        if isinstance(node, (R.Column, R.IntColumn)):
+            cols.setdefault(node.id, node)
+    return [cols[i] for i in sorted(cols)]
+
+
+@dataclass
+class ParamLayout:
+    parameters: list[R.Real]
+    slices: list[tuple[int, int]] = field(init=False)
+    n_vars: int = field(init=False)
+
+    def __post_init__(self):
+        self.slices = []
+        off = 0
+        for p in self.parameters:
+            size = p.size if isinstance(p, R.Parameter) else p.k
+            self.slices.append((off, off + size))
+            off += size
+        self.n_vars = off
+
+    def env_for(self, q):
+        """Bind the flat vector q to parameter leaves."""
+        env = {}
+        for p, (a, b) in zip(self.parameters, self.slices):
+            if isinstance(p, R.Parameter):
+                env[p.id] = q[a]
+            else:
+                env[p.id] = q[a:b]
+        return env
+
+    def pack(self, values: dict[R.Real, object], xp=np):
+        """Inverse of env_for: build a flat q from per-parameter values."""
+        q = xp.zeros((self.n_vars,))
+        for p, (a, b) in zip(self.parameters, self.slices):
+            if p in values:
+                if isinstance(p, R.Parameter):
+                    q = q.at[a].set(values[p]) if xp is jnp else _npset(
+                        q, a, values[p])
+                else:
+                    q = q.at[a:b].set(values[p]) if xp is jnp else _npsets(
+                        q, a, b, values[p])
+        return q
+
+
+def _npset(q, i, v):
+    q[i] = v
+    return q
+
+
+def _npsets(q, a, b, v):
+    q[a:b] = v
+    return q
+
+
+def prior_total(parameters: Sequence[R.Real]) -> R.Real:
+    """Sum of distinct prior densities (TargetGroup's dedicated "prior"
+    target, compute/Target.scala:73-75)."""
+    terms = []
+    for p in parameters:
+        if p.prior is None:
+            continue
+        if isinstance(p, R.VectorParameter):
+            terms.append(R.VecSum(p.prior, p.k))
+        else:
+            terms.append(p.prior)
+    return R.sum_(terms)
+
+
+class CompiledDensity:
+    """Compiled ``logp(q)`` + gradient for a set of likelihood Reals.
+
+    Fills the role of Model.density() → DensityFunction
+    (core/Model.scala:38-50): ``n_vars``-dim unconstrained vector in,
+    scalar log-density and dense gradient out, all on device.
+    """
+
+    def __init__(self, likelihoods: Sequence[R.Real],
+                 extra_roots: Sequence[R.Real] = ()):
+        self.likelihoods = [R.to_real(l) for l in likelihoods]
+        roots = self.likelihoods + [R.to_real(e) for e in extra_roots]
+        self.layout = ParamLayout(find_parameters(roots))
+        self._prior = prior_total(self.layout.parameters)
+        self.columns = find_columns(
+            self.likelihoods + [self._prior] +
+            [p.prior for p in self.layout.parameters if p.prior is not None])
+        self._backend = interp.jax_backend()
+        self._jit_cache: dict = {}
+
+    @property
+    def n_vars(self) -> int:
+        return self.layout.n_vars
+
+    @property
+    def parameters(self) -> list[R.Real]:
+        return self.layout.parameters
+
+    def column_values(self, dtype=None) -> tuple:
+        dtype = dtype or config.dtype()
+        out = []
+        for c in self.columns:
+            if isinstance(c, R.IntColumn):
+                out.append(jnp.asarray(c.values))
+            else:
+                out.append(jnp.asarray(c.values, dtype=dtype))
+        return tuple(out)
+
+    def logp_fn(self) -> Callable:
+        """Pure function (q, cols) -> scalar logp; embeddable in scans/vmaps."""
+        likelihoods = self.likelihoods
+        prior = self._prior
+        layout = self.layout
+        columns = self.columns
+        backend = self._backend
+
+        def logp(q, cols):
+            env = layout.env_for(q)
+            for c, v in zip(columns, cols):
+                env[c.id] = v
+            roots = likelihoods + [prior]
+            vals = interp.evaluate(roots, env, backend, q.dtype)
+            total = vals[-1]
+            for v in vals[:-1]:
+                total = total + jnp.sum(v)
+            return total
+
+        return logp
+
+    def logp_and_grad_fn(self) -> Callable:
+        """(q, cols) -> (logp, grad) — the hot function HMC calls."""
+        return jax.value_and_grad(self.logp_fn())
+
+    # -- convenience jitted entry points ---------------------------------
+    def _jitted(self, kind):
+        if kind not in self._jit_cache:
+            cols = self.column_values()
+            if kind == "logp":
+                f = self.logp_fn()
+                self._jit_cache[kind] = jax.jit(lambda q: f(q, cols))
+            else:
+                f = self.logp_and_grad_fn()
+                self._jit_cache[kind] = jax.jit(lambda q: f(q, cols))
+        return self._jit_cache[kind]
+
+    def logp(self, q) -> jax.Array:
+        q = jnp.asarray(q, dtype=config.dtype())
+        return self._jitted("logp")(q)
+
+    def logp_and_grad(self, q):
+        q = jnp.asarray(q, dtype=config.dtype())
+        return self._jitted("grad")(q)
+
+
+def compile_outputs(parameters: Sequence[R.Real],
+                    outputs: Sequence[R.Real]) -> Callable:
+    """Compile arbitrary output expressions as a function of the flat
+    parameter vector (Compiler.compile, compute/Compiler.scala:22-31; used
+    by Generator.prepare).  Returns a jitted fn q -> list of values."""
+    layout = ParamLayout(list(parameters))
+    outs = [R.to_real(o) for o in outputs]
+    columns = find_columns(outs)
+    backend = interp.jax_backend()
+    col_vals = []
+    for c in columns:
+        if isinstance(c, R.IntColumn):
+            col_vals.append(jnp.asarray(c.values))
+        else:
+            col_vals.append(jnp.asarray(c.values, dtype=config.dtype()))
+    col_vals = tuple(col_vals)
+
+    def fn(q):
+        env = layout.env_for(q)
+        for c, v in zip(columns, col_vals):
+            env[c.id] = v
+        return interp.evaluate(outs, env, backend, q.dtype)
+
+    return jax.jit(fn)
