@@ -1,0 +1,168 @@
+"""Posterior trace: storage, thinning, prediction, convergence diagnostics.
+
+Counterpart of core/Trace.scala.  rHat and effective sample size follow the
+Stan manual §30.3/30.4 equations exactly as the reference does
+(Trace.scala:49-120: between/within variance r̂, variogram-based
+autocorrelation summed while positive up to lag 100) — but vectorized over
+all parameters at once instead of a per-parameter Scala loop.
+
+`predict` vmaps the generator over every posterior draw in one compiled
+program (the reference evaluates draws one-by-one through an interpreter,
+core/Trace.scala:34-41 + Generator.prepare).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..compute import real as R
+from .generator import Env, to_generator
+
+
+class Diagnostics(NamedTuple):
+    r_hat: float
+    effective_sample_size: float
+
+
+def _diagnostics_all(chains: np.ndarray, max_lag: int = 100):
+    """chains: (m, n, k) → per-parameter (r_hat, ess), Stan manual
+    §30.3/30.4 (Trace.scala:61-120)."""
+    m, n, k = chains.shape
+    means = chains.mean(axis=1)                      # (m, k)
+    mean_mean = means.mean(axis=0)                   # (k,)
+    b = n / (m - 1) * ((means - mean_mean) ** 2).sum(axis=0)
+    variances = ((chains - means[:, None, :]) ** 2).sum(axis=1) / (n - 1)
+    w = variances.mean(axis=0)
+    v = (n - 1) / n * w + b / n
+    r_hat = np.sqrt(v / np.maximum(w, 1e-300))
+
+    max_lag = min(max_lag, n - 1)
+    pts = np.empty((max_lag, k))
+    for lag in range(1, max_lag + 1):
+        d = chains[:, lag:, :] - chains[:, :-lag, :]
+        vt = (d ** 2).sum(axis=1).mean(axis=0) / (n - lag)
+        pts[lag - 1] = 1.0 - vt / (2.0 * np.maximum(v, 1e-300))
+    # accumulate while pt > 0 (reference's early-termination criterion)
+    alive = np.cumprod(pts > 0.0, axis=0).astype(bool)
+    ac = (pts * alive).sum(axis=0)
+    ess = n * m / (1 + 2 * ac)
+    return r_hat, ess
+
+
+class Trace:
+    def __init__(self, chains: np.ndarray, model, compiled, config,
+                 mass=None, stats=None, warmup_stats=None, step_size=None,
+                 collect_idx=None, walltime: Optional[float] = None):
+        self.chains = np.asarray(chains)   # (n_chains, n_iters, n_collect)
+        self.model = model
+        self.compiled = compiled
+        self.config = config
+        self.mass = mass
+        self.stats = stats
+        self.warmup_stats = warmup_stats
+        self.step_size = None if step_size is None else np.asarray(step_size)
+        self.collect_idx = collect_idx
+        self.walltime = walltime
+
+    @staticmethod
+    def from_result(model, compiled, result, config, collect_idx=None,
+                    walltime=None) -> "Trace":
+        return Trace(
+            chains=np.asarray(result.samples),
+            model=model, compiled=compiled, config=config,
+            mass=jax.tree.map(
+                lambda x: np.asarray(x) if x is not None else None,
+                result.mass),
+            stats=jax.tree.map(np.asarray, result.stats),
+            warmup_stats=jax.tree.map(np.asarray, result.warmup_stats),
+            step_size=result.step_size, collect_idx=collect_idx,
+            walltime=walltime)
+
+    # -- basic shape ------------------------------------------------------
+    @property
+    def n_chains(self) -> int:
+        return self.chains.shape[0]
+
+    @property
+    def n_iterations(self) -> int:
+        return self.chains.shape[1]
+
+    def thin(self, n: int) -> "Trace":
+        t = Trace(self.chains[:, ::n, :], self.model, self.compiled,
+                  self.config, self.mass, self.stats, self.warmup_stats,
+                  self.step_size, self.collect_idx, self.walltime)
+        return t
+
+    def flat(self) -> np.ndarray:
+        """(n_chains*n_iters, n_collect) draws."""
+        return self.chains.reshape(-1, self.chains.shape[-1])
+
+    # -- diagnostics ------------------------------------------------------
+    def diagnostics(self) -> list[Diagnostics]:
+        if self.n_chains < 2:
+            raise ValueError("diagnostics requires multiple chains")
+        r_hat, ess = _diagnostics_all(self.chains)
+        return [Diagnostics(float(r), float(e))
+                for r, e in zip(r_hat, ess)]
+
+    def accept_rate(self) -> np.ndarray:
+        from ..sampler.stats import accept_rate
+
+        return np.asarray(accept_rate(self.stats))
+
+    def bfmi(self) -> np.ndarray:
+        from ..sampler.stats import bfmi
+
+        return np.asarray(bfmi(self.stats))
+
+    def divergences(self) -> int:
+        return int(np.sum(self.stats.divergences))
+
+    # -- evaluation over draws --------------------------------------------
+    def _require_full(self):
+        if self.collect_idx is not None:
+            raise ValueError("predict/evaluate require the full parameter "
+                             "vector; re-run sample with collect_idx=None")
+
+    def evaluate(self, exprs) -> np.ndarray:
+        """Evaluate Real expression(s) at every draw → (n_draws, ...)."""
+        self._require_full()
+        single = isinstance(exprs, R.Real)
+        exprs = [exprs] if single else list(exprs)
+        from ..compute.compiler import compile_outputs
+
+        fn = compile_outputs(self.compiled.parameters, exprs)
+        draws = jnp.asarray(self.flat())
+        vals = jax.jit(jax.vmap(fn))(draws)
+        out = [np.asarray(v) for v in vals]
+        return out[0] if single else out
+
+    def predict(self, t, seed: int = 0):
+        """Posterior-predictive sampling of `t` at every draw
+        (Trace.predict, core/Trace.scala:34-41) — one vmapped program."""
+        self._require_full()
+        gen = to_generator(t)
+        layout = self.compiled.layout
+        columns = self.compiled.columns
+        col_vals = self.compiled.column_values()
+
+        def one(q, key):
+            base = layout.env_for(q)
+            for c, v in zip(columns, col_vals):
+                base[c.id] = v
+            return gen.fn(key, Env(base))
+
+        draws = jnp.asarray(self.flat())
+        keys = jax.random.split(jax.random.PRNGKey(seed), draws.shape[0])
+        vals = jax.jit(jax.vmap(one))(draws, keys)
+        return jax.tree.map(np.asarray, vals)
+
+    def mean(self, expr) -> float:
+        return float(np.mean(self.evaluate(expr)))
+
+    def std(self, expr) -> float:
+        return float(np.std(self.evaluate(expr)))

@@ -1,0 +1,17 @@
+from .config import (EHMC, HMC, NUTS, DenseMassMatrixTuner,
+                     DiagonalMassMatrixTuner, DualAvgStepSize,
+                     IdentityMassMatrix, SamplerConfig, StaticMassMatrix,
+                     StaticStepSize, ehmc, hmc, nuts)
+from .driver import build_chain_fn, sample
+from .leapfrog import ChainState, hmc_transition, leapfrog
+from .mass import MassState, dense_mass, diag_mass, identity_mass
+from .stats import StatsState, accept_rate, bfmi
+
+__all__ = [
+    "EHMC", "HMC", "NUTS", "DenseMassMatrixTuner", "DiagonalMassMatrixTuner",
+    "DualAvgStepSize", "IdentityMassMatrix", "SamplerConfig",
+    "StaticMassMatrix", "StaticStepSize", "ehmc", "hmc", "nuts",
+    "build_chain_fn", "sample", "ChainState", "hmc_transition", "leapfrog",
+    "MassState", "dense_mass", "diag_mass", "identity_mass", "StatsState",
+    "accept_rate", "bfmi",
+]

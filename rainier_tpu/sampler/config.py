@@ -1,0 +1,116 @@
+"""Sampler configuration (counterpart of sampler/Sampler.scala:3-27).
+
+Typed config dataclasses, no global flags — same shape as the reference's
+SamplerConfig trait + DefaultConfig.  Defaults mirror DefaultConfig:
+1000 warmup / 1000 iterations / DualAvg(0.8) /
+DiagonalMassMatrixTuner(50, 1.5, 50, 50) / EHMC(1024).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Union
+
+
+@dataclass(frozen=True)
+class HMC:
+    """Fixed-length HMC (sampler/HMC.scala)."""
+
+    n_steps: int = 5
+
+
+@dataclass(frozen=True)
+class EHMC:
+    """Empirical HMC, Wu et al. 2018 (sampler/EHMC.scala)."""
+
+    max_steps: int = 1024
+    min_steps: int = 1
+    buf_size: int = 100
+    p_count: float = 0.1
+
+
+@dataclass(frozen=True)
+class NUTS:
+    """Iterative No-U-Turn sampler with multinomial state selection —
+    capability the reference lacks (listed in BASELINE configs)."""
+
+    max_depth: int = 10
+
+
+SamplerKind = Union[HMC, EHMC, NUTS]
+
+
+@dataclass(frozen=True)
+class DualAvgStepSize:
+    delta: float = 0.8
+
+
+@dataclass(frozen=True)
+class StaticStepSize:
+    step_size: float = 0.1
+
+
+@dataclass(frozen=True)
+class IdentityMassMatrix:
+    pass
+
+
+@dataclass(frozen=True)
+class DiagonalMassMatrixTuner:
+    initial_window: int = 50
+    expansion: float = 1.5
+    skip_first: int = 50
+    skip_last: int = 50
+
+
+@dataclass(frozen=True)
+class DenseMassMatrixTuner:
+    initial_window: int = 50
+    expansion: float = 1.5
+    skip_first: int = 50
+    skip_last: int = 50
+
+
+@dataclass(frozen=True)
+class StaticMassMatrix:
+    diag: Optional[Sequence[float]] = None
+    cov: Optional[Sequence[Sequence[float]]] = None
+
+
+MassConfig = Union[IdentityMassMatrix, DiagonalMassMatrixTuner,
+                   DenseMassMatrixTuner, StaticMassMatrix]
+
+
+@dataclass(frozen=True)
+class SamplerConfig:
+    warmup_iterations: int = 1000
+    iterations: int = 1000
+    sampler: SamplerKind = field(default_factory=lambda: EHMC())
+    step_size: Union[DualAvgStepSize, StaticStepSize] = field(
+        default_factory=DualAvgStepSize)
+    mass_matrix: MassConfig = field(
+        default_factory=DiagonalMassMatrixTuner)
+    thin: int = 1
+    # 'independent' matches the reference (each chain adapts alone);
+    # 'pooled' shares adaptation statistics across all chains — the
+    # cross-chain mode enabled by running chains as a device-sharded batch
+    pooled_adaptation: bool = False
+
+
+def hmc(warmup: int, it: int, n_steps: int) -> SamplerConfig:
+    """HMC(warmIt, it, nSteps) legacy-style constructor (HMC.scala:26-33)."""
+    return SamplerConfig(warmup_iterations=warmup, iterations=it,
+                         sampler=HMC(n_steps))
+
+
+def ehmc(warmup: int, it: int, min_steps: int = 1,
+         num_lengths: int = 100) -> SamplerConfig:
+    """EHMC(warmIt, it, ...) constructor (EHMC.scala:64-74)."""
+    return SamplerConfig(warmup_iterations=warmup, iterations=it,
+                         sampler=EHMC(1000, min_steps, num_lengths, 0.1))
+
+
+def nuts(warmup: int = 1000, it: int = 1000,
+         max_depth: int = 10) -> SamplerConfig:
+    return SamplerConfig(warmup_iterations=warmup, iterations=it,
+                         sampler=NUTS(max_depth))

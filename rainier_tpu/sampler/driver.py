@@ -1,0 +1,236 @@
+"""Chain driver: warmup + sampling as one compiled program.
+
+Counterpart of sampler/Driver.scala:6-120, redesigned for TPU execution:
+
+* the reference's per-iteration Java loop becomes two `lax.scan`s (warmup,
+  sampling) inside one jit — zero host round-trips per iteration;
+* the reference runs chains sequentially (core/Model.scala:16-22); here
+  *all chains run simultaneously* as a vmapped batch axis with
+  `axis_name="chains"`, so the same program scales from 4 chains on one
+  chip to thousands sharded over a mesh (see rainier_tpu.parallel);
+* the expanding adaptation-window schedule is data-independent and
+  precomputed as per-iteration masks (see mass.window_masks); window
+  closes use `lax.cond` on an *unbatched* flag so the (possibly O(n³))
+  mass rebuild only executes on close iterations;
+* warmup returns (step size, mass matrix, stats) exactly like
+  Driver.sample's tuple, and adaptation state is an explicit pytree — the
+  checkpointable form the reference lacks (SURVEY.md §5 checkpoint/resume).
+
+Cross-chain pooled adaptation (config.pooled_adaptation) shares acceptance
+statistics and variance estimates across the chain axis via
+`lax.pmean(..., "chains")` — collectives ride ICI when chains are sharded.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as global_config
+from . import config as C
+from . import samplers
+from .dualavg import (DualAvgState, current_step_size, dual_avg_init,
+                      dual_avg_reset, dual_avg_update, final_step_size,
+                      find_reasonable_step_size)
+from .leapfrog import ChainState, try_stepping
+from .mass import (MassState, dense_mass, diag_mass, identity_mass, kinetic,
+                   mass_from_welford, welford_init, welford_update,
+                   window_masks)
+from .stats import StatsState, stats_init, stats_update
+
+CHAIN_AXIS = "chains"
+
+
+class ChainResult(NamedTuple):
+    samples: jax.Array        # (n_out, n_collect)
+    mass: MassState
+    step_size: jax.Array
+    warmup_stats: StatsState
+    stats: StatsState
+    final_q: jax.Array
+
+
+def _mass_kind(mass_cfg) -> str:
+    if isinstance(mass_cfg, C.IdentityMassMatrix):
+        return "identity"
+    if isinstance(mass_cfg, C.DiagonalMassMatrixTuner):
+        return "diag"
+    if isinstance(mass_cfg, C.DenseMassMatrixTuner):
+        return "dense"
+    if isinstance(mass_cfg, C.StaticMassMatrix):
+        return "static"
+    raise TypeError(mass_cfg)
+
+
+def _initial_mass(mass_cfg, n_vars: int, dtype) -> MassState:
+    if isinstance(mass_cfg, C.StaticMassMatrix):
+        if mass_cfg.diag is not None:
+            return diag_mass(jnp.asarray(mass_cfg.diag, dtype=dtype))
+        if mass_cfg.cov is not None:
+            return dense_mass(jnp.asarray(mass_cfg.cov, dtype=dtype))
+    if isinstance(mass_cfg, C.DiagonalMassMatrixTuner):
+        # placeholder with the right pytree structure; identity values
+        return diag_mass(jnp.ones((n_vars,), dtype=dtype))
+    if isinstance(mass_cfg, C.DenseMassMatrixTuner):
+        return dense_mass(jnp.eye(n_vars, dtype=dtype))
+    return identity_mass()
+
+
+def build_chain_fn(lpg, n_vars: int, cfg: C.SamplerConfig, dtype,
+                   collect_idx: Optional[np.ndarray] = None,
+                   pooled: bool = False):
+    """Returns chain_fn(key) -> ChainResult, to be vmapped over chains."""
+    pooled = pooled or cfg.pooled_adaptation
+    adaptive_step = isinstance(cfg.step_size, C.DualAvgStepSize)
+    delta = cfg.step_size.delta if adaptive_step else 0.8
+    kind = _mass_kind(cfg.mass_matrix)
+    tuned_mass = kind in ("diag", "dense")
+    if tuned_mass:
+        update_mask, close_mask = window_masks(
+            cfg.warmup_iterations, cfg.mass_matrix.initial_window,
+            cfg.mass_matrix.expansion, cfg.mass_matrix.skip_first,
+            cfg.mass_matrix.skip_last)
+    else:
+        update_mask = jnp.zeros(cfg.warmup_iterations, dtype=bool)
+        close_mask = update_mask
+    thin = max(cfg.thin, 1)
+    n_out = cfg.iterations // thin
+    cidx = None if collect_idx is None else jnp.asarray(collect_idx)
+
+    def collect(q):
+        return q if cidx is None else q[cidx]
+
+    def pool_scalar_prob(la):
+        if not pooled:
+            return la
+        return jnp.log(jnp.maximum(
+            jax.lax.pmean(jnp.exp(la), CHAIN_AXIS), 1e-30))
+
+    def chain_fn(key):
+        q0 = jnp.zeros((n_vars,), dtype=dtype)
+        lp0, g0 = lpg(q0)
+        chain0 = ChainState(q=q0, potential=-lp0, grad=g0)
+        mass0 = _initial_mass(cfg.mass_matrix, n_vars, dtype)
+
+        key, k_p, k_eps = jax.random.split(key, 3)
+        p_init = jax.random.normal(k_p, (n_vars,), dtype=dtype)
+        if adaptive_step:
+            # bracketing search under identity mass (Driver warmup init;
+            # DualAvgTuner.initialize)
+            eps0 = find_reasonable_step_size(
+                lambda e: try_stepping(chain0, p_init, e, identity_mass(),
+                                       lpg))
+            da0 = dual_avg_init(eps0.astype(dtype))
+        else:
+            da0 = dual_avg_init(jnp.asarray(cfg.step_size.step_size, dtype))
+        welford0 = welford_init(n_vars, dtype, dense=(kind == "dense"))
+        extra0 = samplers.init_extra(cfg.sampler, n_vars, dtype)
+        e0 = chain0.potential + kinetic(mass0, p_init)
+        wstats0 = stats_init(dtype, e0)
+
+        def warm_step(carry, x):
+            key, chain, da, welford, mass, extra, stats = carry
+            update_f, close_f = x
+            key, k = jax.random.split(key)
+            eps = current_step_size(da) if adaptive_step else \
+                jnp.asarray(cfg.step_size.step_size, dtype)
+            res, extra, n_grads = samplers.step(
+                cfg.sampler, k, chain, eps, mass, extra, lpg, warmup=True)
+            if adaptive_step:
+                da = dual_avg_update(da, pool_scalar_prob(res.log_accept),
+                                     delta)
+            if tuned_mass:
+                w2 = welford_update(welford, res.state.q)
+                welford = jax.tree.map(
+                    partial(jnp.where, update_f), w2, welford)
+
+                def do_close(ops):
+                    w, d, m = ops
+                    if pooled:
+                        w = jax.tree.map(
+                            lambda a: jax.lax.pmean(a, CHAIN_AXIS), w)
+                    new_mass = mass_from_welford(w, kind)
+                    new_da = dual_avg_reset(d) if adaptive_step else d
+                    return (welford_init(n_vars, dtype,
+                                         dense=(kind == "dense")),
+                            new_da, new_mass)
+
+                welford, da, mass = jax.lax.cond(
+                    close_f, do_close, lambda ops: ops,
+                    (welford, da, mass))
+            stats = stats_update(stats, res.log_accept, res.divergent,
+                                 res.energy, n_grads)
+            return (key, res.state, da, welford, mass, extra, stats), None
+
+        carry0 = (key, chain0, da0, welford0, mass0, extra0, wstats0)
+        (key, chain, da, welford, mass, extra, wstats), _ = jax.lax.scan(
+            warm_step, carry0, (update_mask, close_mask))
+
+        eps_final = final_step_size(da) if adaptive_step else \
+            jnp.asarray(cfg.step_size.step_size, dtype)
+        sstats0 = stats_init(dtype, wstats.prev_energy)
+
+        def sample_step(carry, _):
+            key, chain, extra, stats = carry
+
+            def inner(i, c):
+                key, chain, extra, stats = c
+                key, k = jax.random.split(key)
+                res, extra, n_grads = samplers.step(
+                    cfg.sampler, k, chain, eps_final, mass, extra, lpg,
+                    warmup=False)
+                stats = stats_update(stats, res.log_accept, res.divergent,
+                                     res.energy, n_grads)
+                return (key, res.state, extra, stats)
+
+            key, chain, extra, stats = jax.lax.fori_loop(
+                0, thin, inner, (key, chain, extra, stats))
+            return (key, chain, extra, stats), collect(chain.q)
+
+        (key, chain, extra, sstats), samples = jax.lax.scan(
+            sample_step, (key, chain, extra, sstats0), None, length=n_out)
+
+        return ChainResult(samples=samples, mass=mass,
+                           step_size=eps_final, warmup_stats=wstats,
+                           stats=sstats, final_q=chain.q)
+
+    return chain_fn
+
+
+def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
+           collect_idx=None, dtype=None, mesh=None):
+    """Run inference on `model`; returns a Trace.
+
+    With `mesh` (a jax.sharding.Mesh with a 'chains' axis), the chain batch
+    is sharded across devices — the multi-chip path (rainier_tpu.parallel).
+    """
+    from ..core.trace import Trace
+
+    dtype = dtype or global_config.dtype()
+    cd = model.density()
+    cols = cd.column_values(dtype)
+    lpg_raw = cd.logp_and_grad_fn()
+
+    def lpg(q):
+        return lpg_raw(q, cols)
+
+    chain_fn = build_chain_fn(lpg, cd.n_vars, cfg, dtype,
+                              collect_idx=collect_idx,
+                              pooled=cfg.pooled_adaptation)
+    batched = jax.vmap(chain_fn, axis_name=CHAIN_AXIS)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_chains)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P("chains"))
+        keys = jax.device_put(keys, sharding)
+        batched = jax.jit(batched, in_shardings=sharding)
+    else:
+        batched = jax.jit(batched)
+    result: ChainResult = batched(keys)
+    return Trace.from_result(model, cd, result, cfg,
+                             collect_idx=collect_idx)

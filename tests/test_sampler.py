@@ -1,0 +1,198 @@
+"""Sampler-layer tests.
+
+Moment tests mirror rainier-test/.../sampler/LeapFrogTest.scala:15-79
+(hand-written analytic density, 1000 iterations, loose tolerances, identity
+and diagonal mass) plus funnel geometry, dense-mass, NUTS, EHMC, pooled
+adaptation, thinning and posterior-predictive paths.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rainier_tpu as rt
+from rainier_tpu.sampler import (EHMC, HMC, NUTS, DenseMassMatrixTuner,
+                                 IdentityMassMatrix, SamplerConfig,
+                                 StaticMassMatrix, StaticStepSize,
+                                 build_chain_fn)
+
+
+def standard_normal_density(n):
+    """Hand-written DensityFunction analogue (LeapFrogTest.scala:5-13):
+    bypasses the model layer entirely, proving the sampler is independently
+    usable (docs/modules.md:10-11)."""
+
+    def lpg(q):
+        return -0.5 * jnp.sum(q * q), -q
+
+    return lpg
+
+
+def run_raw(lpg, n_vars, cfg, n_chains=2, seed=0):
+    fn = build_chain_fn(lpg, n_vars, cfg, jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_chains)
+    return jax.jit(jax.vmap(fn, axis_name="chains"))(keys)
+
+
+@pytest.mark.parametrize("mass_cfg", [
+    IdentityMassMatrix(),
+    StaticMassMatrix(diag=[1.0, 1.0, 1.0]),
+], ids=["identity", "static-diag"])
+def test_leapfrog_moments_analytic_density(mass_cfg):
+    cfg = SamplerConfig(warmup_iterations=500, iterations=1000,
+                        sampler=HMC(8), mass_matrix=mass_cfg)
+    res = run_raw(standard_normal_density(3), 3, cfg)
+    qs = np.asarray(res.samples).reshape(-1, 3)
+    assert np.all(np.abs(qs.mean(axis=0)) < 0.2)
+    assert np.all(np.abs(qs.std(axis=0) - 1.0) < 0.3)
+
+
+def test_static_step_size():
+    cfg = SamplerConfig(warmup_iterations=100, iterations=500,
+                        sampler=HMC(8), step_size=StaticStepSize(0.5),
+                        mass_matrix=IdentityMassMatrix())
+    res = run_raw(standard_normal_density(2), 2, cfg)
+    assert float(res.step_size[0]) == pytest.approx(0.5)
+    qs = np.asarray(res.samples).reshape(-1, 2)
+    assert np.all(np.abs(qs.std(axis=0) - 1.0) < 0.35)
+
+
+def test_diag_mass_adapts_to_scales():
+    # correlated-free but wildly different scales: diag mass should adapt
+    scales = jnp.asarray([0.1, 1.0, 10.0])
+
+    def lpg(q):
+        z = q / scales
+        return -0.5 * jnp.sum(z * z), -q / (scales * scales)
+
+    cfg = SamplerConfig(warmup_iterations=800, iterations=1000,
+                        sampler=HMC(8))
+    res = run_raw(lpg, 3, cfg)
+    variances = np.asarray(res.mass.diag)  # (chains, 3)
+    # adapted variance should be within ~3x of the true marginal variances
+    true = np.asarray(scales) ** 2
+    ratio = variances / true
+    assert np.all(ratio > 0.2) and np.all(ratio < 5.0), variances
+    qs = np.asarray(res.samples).reshape(-1, 3)
+    assert np.all(np.abs(qs.std(axis=0) / np.asarray(scales) - 1) < 0.35)
+
+
+def test_dense_mass_on_correlated_gaussian():
+    rho = 0.9
+    cov = np.array([[1.0, rho], [rho, 1.0]])
+    prec = np.linalg.inv(cov)
+    pj = jnp.asarray(prec, jnp.float32)
+
+    def lpg(q):
+        g = -pj @ q
+        return -0.5 * jnp.dot(q, pj @ q), g
+
+    cfg = SamplerConfig(warmup_iterations=800, iterations=1500,
+                        sampler=HMC(8),
+                        mass_matrix=DenseMassMatrixTuner())
+    res = run_raw(lpg, 2, cfg)
+    qs = np.asarray(res.samples).reshape(-1, 2)
+    emp = np.cov(qs.T)
+    assert abs(emp[0, 1] / np.sqrt(emp[0, 0] * emp[1, 1]) - rho) < 0.1
+    # adapted dense covariance should capture the correlation
+    ch_cov = np.asarray(res.mass.cov)[0]
+    assert abs(ch_cov[0, 1] / np.sqrt(ch_cov[0, 0] * ch_cov[1, 1]) - rho) \
+        < 0.25
+
+
+@pytest.mark.parametrize("sampler", [HMC(5), EHMC(max_steps=128),
+                                     NUTS(max_depth=7)],
+                         ids=["hmc", "ehmc", "nuts"])
+def test_funnel_moments(sampler):
+    y = rt.Normal(0.0, 3.0).latent()
+    xv = rt.Normal(0.0, (y / 2).exp()).latent_vec(9)
+    m = rt.Model.track_({y} | set(xv.to_list()))
+    cfg = SamplerConfig(warmup_iterations=700, iterations=1500,
+                        sampler=sampler)
+    tr = m.sample(cfg, n_chains=4, seed=3)
+    ys = tr.evaluate(y)
+    assert abs(ys.mean()) < 0.35
+    assert abs(ys.std() - 3.0) < 0.45
+    assert max(d.r_hat for d in tr.diagnostics()) < 1.1
+
+
+def test_pooled_adaptation():
+    cfg = SamplerConfig(warmup_iterations=500, iterations=500,
+                        sampler=HMC(8), pooled_adaptation=True)
+    res = run_raw(standard_normal_density(2), 2, cfg, n_chains=4)
+    # pooled mode → every chain ends with the same mass matrix & step size
+    d = np.asarray(res.mass.diag)
+    assert np.allclose(d, d[0], rtol=1e-5)
+    qs = np.asarray(res.samples).reshape(-1, 2)
+    assert np.all(np.abs(qs.std(axis=0) - 1.0) < 0.3)
+
+
+def test_thin_and_collect():
+    x = rt.Normal(1.0, 2.0).latent()
+    m = rt.Model.track_({x})
+    cfg = SamplerConfig(warmup_iterations=500, iterations=900,
+                        sampler=HMC(6), thin=3)
+    tr = m.sample(cfg, n_chains=4, seed=0)
+    assert tr.chains.shape[1] == 300
+    xs = tr.evaluate(x)
+    assert abs(xs.mean() - 1.0) < 0.4
+
+
+def test_posterior_regression_end_to_end():
+    rng = np.random.default_rng(5)
+    xs = rng.normal(size=(80, 2))
+    true_b = np.array([1.5, -0.5])
+    ys = xs @ true_b + 0.3 * rng.normal(size=80)
+    betas = rt.Normal(0, 5).latent_vec(2)
+    sigma = rt.Exponential(1.0).latent()
+    model = rt.Model.observe(
+        list(ys),
+        rt.Vec.from_([tuple(r) for r in xs]).map(
+            lambda t: rt.Normal(rt.Vec.of(*t).dot(betas), sigma)))
+    cfg = SamplerConfig(warmup_iterations=500, iterations=800,
+                        sampler=HMC(10))
+    tr = model.sample(cfg, n_chains=2, seed=2)
+    b0 = tr.evaluate(betas[0])
+    b1 = tr.evaluate(betas[1])
+    s = tr.evaluate(sigma)
+    assert abs(b0.mean() - 1.5) < 0.15
+    assert abs(b1.mean() + 0.5) < 0.15
+    assert abs(s.mean() - 0.3) < 0.1
+
+
+def test_predict_posterior_predictive():
+    # observe normal data, predict new observations
+    rng = np.random.default_rng(11)
+    data = rng.normal(2.0, 1.0, size=200)
+    mu = rt.Normal(0, 10).latent()
+    model = rt.Model.observe(list(data), rt.Normal(mu, 1.0))
+    cfg = SamplerConfig(warmup_iterations=300, iterations=400,
+                        sampler=HMC(8))
+    tr = model.sample(cfg, n_chains=2, seed=0)
+    preds = tr.predict(rt.Normal(mu, 1.0))
+    preds = np.asarray(preds)
+    assert preds.shape[0] == 800
+    assert abs(preds.mean() - 2.0) < 0.2
+    assert abs(preds.std() - 1.0) < 0.25
+
+
+def test_optimize_map():
+    rng = np.random.default_rng(5)
+    data = rng.normal(3.0, 1.0, size=500)
+    mu = rt.Normal(0, 100).latent()
+    model = rt.Model.observe(list(data), rt.Normal(mu, 1.0))
+    mu_hat = model.optimize(mu)
+    assert abs(float(mu_hat) - data.mean()) < 0.05
+
+
+def test_divergence_counting():
+    # an impossible geometry at huge step size must register divergences
+    def lpg(q):
+        return -0.5 * jnp.sum(q * q) * 1e6, -q * 1e6
+
+    cfg = SamplerConfig(warmup_iterations=10, iterations=50,
+                        sampler=HMC(5), step_size=StaticStepSize(10.0),
+                        mass_matrix=IdentityMassMatrix())
+    res = run_raw(lpg, 2, cfg)
+    assert int(np.sum(np.asarray(res.stats.divergences))) > 0
