@@ -210,9 +210,15 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
     """
     from ..core.trace import Trace
 
+    import time as _time
+
     dtype = dtype or global_config.dtype()
     cd = model.density()
     cols = cd.column_values(dtype)
+    if mesh is not None and "data" in mesh.axis_names:
+        from ..parallel.data import shard_columns
+
+        cols = shard_columns(cols, mesh)
     lpg_raw = cd.logp_and_grad_fn()
 
     def lpg(q):
@@ -231,6 +237,9 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
         batched = jax.jit(batched, in_shardings=sharding)
     else:
         batched = jax.jit(batched)
+    t0 = _time.perf_counter()
     result: ChainResult = batched(keys)
+    jax.block_until_ready(result.samples)
+    walltime = _time.perf_counter() - t0
     return Trace.from_result(model, cd, result, cfg,
-                             collect_idx=collect_idx)
+                             collect_idx=collect_idx, walltime=walltime)
