@@ -24,3 +24,7 @@ __all__ = [
     "Model", "Multinomial", "BoundedAboveSupport", "BoundedBelowSupport",
     "BoundedSupport", "Support", "UnboundedSupport",
 ]
+from .sbc import SBC, Rep, rank_uniformity_pvalue  # noqa: E402
+from .trace import Diagnostics, Trace  # noqa: E402
+
+__all__ += ["SBC", "Rep", "rank_uniformity_pvalue", "Diagnostics", "Trace"]

@@ -1,20 +1,21 @@
-"""Chain driver: warmup + sampling as one compiled program.
+"""Chain driver: warmup + sampling as compiled scan programs.
 
 Counterpart of sampler/Driver.scala:6-120, redesigned for TPU execution:
 
-* the reference's per-iteration Java loop becomes two `lax.scan`s (warmup,
-  sampling) inside one jit — zero host round-trips per iteration;
+* the reference's per-iteration Java loop becomes `lax.scan`s inside jit —
+  zero host round-trips per iteration;
 * the reference runs chains sequentially (core/Model.scala:16-22); here
   *all chains run simultaneously* as a vmapped batch axis with
-  `axis_name="chains"`, so the same program scales from 4 chains on one
-  chip to thousands sharded over a mesh (see rainier_tpu.parallel);
+  `axis_name="chains"`, scaling from 4 chains on one chip to thousands
+  sharded over a mesh (see rainier_tpu.parallel);
 * the expanding adaptation-window schedule is data-independent and
   precomputed as per-iteration masks (see mass.window_masks); window
   closes use `lax.cond` on an *unbatched* flag so the (possibly O(n³))
   mass rebuild only executes on close iterations;
-* warmup returns (step size, mass matrix, stats) exactly like
-  Driver.sample's tuple, and adaptation state is an explicit pytree — the
-  checkpointable form the reference lacks (SURVEY.md §5 checkpoint/resume).
+* warmup returns an explicit `WarmupProduct` pytree — the checkpointable
+  adaptation product the reference lacks (SURVEY.md §5 checkpoint/resume);
+  sampling runs either as one fused scan (fast path) or in jitted chunks
+  with Progress refreshes between them.
 
 Cross-chain pooled adaptation (config.pooled_adaptation) shares acceptance
 statistics and variance estimates across the chain axis via
@@ -23,6 +24,7 @@ statistics and variance estimates across the chain axis via
 
 from __future__ import annotations
 
+import time as _time
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -33,8 +35,8 @@ import numpy as np
 from .. import config as global_config
 from . import config as C
 from . import samplers
-from .dualavg import (DualAvgState, current_step_size, dual_avg_init,
-                      dual_avg_reset, dual_avg_update, final_step_size,
+from .dualavg import (current_step_size, dual_avg_init, dual_avg_reset,
+                      dual_avg_update, final_step_size,
                       find_reasonable_step_size)
 from .leapfrog import ChainState, try_stepping
 from .mass import (MassState, dense_mass, diag_mass, identity_mass, kinetic,
@@ -43,6 +45,24 @@ from .mass import (MassState, dense_mass, diag_mass, identity_mass, kinetic,
 from .stats import StatsState, stats_init, stats_update
 
 CHAIN_AXIS = "chains"
+
+
+class WarmupProduct(NamedTuple):
+    """Everything sampling needs; serializable for resume."""
+
+    key: jax.Array
+    chain: ChainState
+    extra: object
+    mass: MassState
+    step_size: jax.Array
+    warmup_stats: StatsState
+
+
+class SampleCarry(NamedTuple):
+    key: jax.Array
+    chain: ChainState
+    extra: object
+    stats: StatsState
 
 
 class ChainResult(NamedTuple):
@@ -73,18 +93,16 @@ def _initial_mass(mass_cfg, n_vars: int, dtype) -> MassState:
         if mass_cfg.cov is not None:
             return dense_mass(jnp.asarray(mass_cfg.cov, dtype=dtype))
     if isinstance(mass_cfg, C.DiagonalMassMatrixTuner):
-        # placeholder with the right pytree structure; identity values
+        # identity-valued placeholder with the diag pytree structure
         return diag_mass(jnp.ones((n_vars,), dtype=dtype))
     if isinstance(mass_cfg, C.DenseMassMatrixTuner):
         return dense_mass(jnp.eye(n_vars, dtype=dtype))
     return identity_mass()
 
 
-def build_chain_fn(lpg, n_vars: int, cfg: C.SamplerConfig, dtype,
-                   collect_idx: Optional[np.ndarray] = None,
-                   pooled: bool = False):
-    """Returns chain_fn(key) -> ChainResult, to be vmapped over chains."""
-    pooled = pooled or cfg.pooled_adaptation
+def build_warmup_fn(lpg, n_vars: int, cfg: C.SamplerConfig, dtype,
+                    pooled: bool = False):
+    """Returns warmup_fn(key) -> WarmupProduct (per chain; vmap it)."""
     adaptive_step = isinstance(cfg.step_size, C.DualAvgStepSize)
     delta = cfg.step_size.delta if adaptive_step else 0.8
     kind = _mass_kind(cfg.mass_matrix)
@@ -97,30 +115,22 @@ def build_chain_fn(lpg, n_vars: int, cfg: C.SamplerConfig, dtype,
     else:
         update_mask = jnp.zeros(cfg.warmup_iterations, dtype=bool)
         close_mask = update_mask
-    thin = max(cfg.thin, 1)
-    n_out = cfg.iterations // thin
-    cidx = None if collect_idx is None else jnp.asarray(collect_idx)
 
-    def collect(q):
-        return q if cidx is None else q[cidx]
-
-    def pool_scalar_prob(la):
+    def pool_accept(la):
         if not pooled:
             return la
         return jnp.log(jnp.maximum(
             jax.lax.pmean(jnp.exp(la), CHAIN_AXIS), 1e-30))
 
-    def chain_fn(key):
+    def warmup_fn(key) -> WarmupProduct:
         q0 = jnp.zeros((n_vars,), dtype=dtype)
         lp0, g0 = lpg(q0)
         chain0 = ChainState(q=q0, potential=-lp0, grad=g0)
         mass0 = _initial_mass(cfg.mass_matrix, n_vars, dtype)
 
-        key, k_p, k_eps = jax.random.split(key, 3)
+        key, k_p = jax.random.split(key)
         p_init = jax.random.normal(k_p, (n_vars,), dtype=dtype)
         if adaptive_step:
-            # bracketing search under identity mass (Driver warmup init;
-            # DualAvgTuner.initialize)
             eps0 = find_reasonable_step_size(
                 lambda e: try_stepping(chain0, p_init, e, identity_mass(),
                                        lpg))
@@ -141,7 +151,7 @@ def build_chain_fn(lpg, n_vars: int, cfg: C.SamplerConfig, dtype,
             res, extra, n_grads = samplers.step(
                 cfg.sampler, k, chain, eps, mass, extra, lpg, warmup=True)
             if adaptive_step:
-                da = dual_avg_update(da, pool_scalar_prob(res.log_accept),
+                da = dual_avg_update(da, pool_accept(res.log_accept),
                                      delta)
             if tuned_mass:
                 w2 = welford_update(welford, res.state.q)
@@ -172,45 +182,82 @@ def build_chain_fn(lpg, n_vars: int, cfg: C.SamplerConfig, dtype,
 
         eps_final = final_step_size(da) if adaptive_step else \
             jnp.asarray(cfg.step_size.step_size, dtype)
-        sstats0 = stats_init(dtype, wstats.prev_energy)
+        return WarmupProduct(key=key, chain=chain, extra=extra, mass=mass,
+                             step_size=eps_final, warmup_stats=wstats)
 
-        def sample_step(carry, _):
-            key, chain, extra, stats = carry
+    return warmup_fn
 
+
+def build_sampling_fn(lpg, cfg: C.SamplerConfig, dtype, n_out: int,
+                      collect_idx=None):
+    """Returns sampling_fn(carry: SampleCarry, mass, eps) ->
+    (SampleCarry, samples (n_out, k)) — per chain; vmap it.  Emits one
+    collected draw per `cfg.thin` transitions."""
+    thin = max(cfg.thin, 1)
+    cidx = None if collect_idx is None else jnp.asarray(collect_idx)
+
+    def collect(q):
+        return q if cidx is None else q[cidx]
+
+    def sampling_fn(carry: SampleCarry, mass: MassState, eps):
+        def sample_step(c, _):
             def inner(i, c):
                 key, chain, extra, stats = c
                 key, k = jax.random.split(key)
                 res, extra, n_grads = samplers.step(
-                    cfg.sampler, k, chain, eps_final, mass, extra, lpg,
+                    cfg.sampler, k, chain, eps, mass, extra, lpg,
                     warmup=False)
                 stats = stats_update(stats, res.log_accept, res.divergent,
                                      res.energy, n_grads)
-                return (key, res.state, extra, stats)
+                return SampleCarry(key, res.state, extra, stats)
 
-            key, chain, extra, stats = jax.lax.fori_loop(
-                0, thin, inner, (key, chain, extra, stats))
-            return (key, chain, extra, stats), collect(chain.q)
+            c = jax.lax.fori_loop(0, thin, inner, c)
+            return c, collect(c.chain.q)
 
-        (key, chain, extra, sstats), samples = jax.lax.scan(
-            sample_step, (key, chain, extra, sstats0), None, length=n_out)
+        return jax.lax.scan(sample_step, carry, None, length=n_out)
 
-        return ChainResult(samples=samples, mass=mass,
-                           step_size=eps_final, warmup_stats=wstats,
-                           stats=sstats, final_q=chain.q)
+    return sampling_fn
+
+
+def build_chain_fn(lpg, n_vars: int, cfg: C.SamplerConfig, dtype,
+                   collect_idx: Optional[np.ndarray] = None,
+                   pooled: bool = False):
+    """Fused warmup+sampling program (fast path): chain_fn(key) ->
+    ChainResult."""
+    pooled = pooled or cfg.pooled_adaptation
+    warmup_fn = build_warmup_fn(lpg, n_vars, cfg, dtype, pooled)
+    n_out = cfg.iterations // max(cfg.thin, 1)
+    sampling_fn = build_sampling_fn(lpg, cfg, dtype, n_out, collect_idx)
+
+    def chain_fn(key):
+        wp = warmup_fn(key)
+        sstats0 = stats_init(dtype, wp.warmup_stats.prev_energy)
+        carry0 = SampleCarry(wp.key, wp.chain, wp.extra, sstats0)
+        carry, samples = sampling_fn(carry0, wp.mass, wp.step_size)
+        return ChainResult(samples=samples, mass=wp.mass,
+                           step_size=wp.step_size,
+                           warmup_stats=wp.warmup_stats,
+                           stats=carry.stats, final_q=carry.chain.q)
 
     return chain_fn
 
 
+def _chain_sharding(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P(CHAIN_AXIS))
+
+
 def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
-           collect_idx=None, dtype=None, mesh=None):
+           collect_idx=None, dtype=None, mesh=None, progress=None):
     """Run inference on `model`; returns a Trace.
 
-    With `mesh` (a jax.sharding.Mesh with a 'chains' axis), the chain batch
-    is sharded across devices — the multi-chip path (rainier_tpu.parallel).
+    `mesh`: a jax.sharding.Mesh with a 'chains' axis shards the chain
+    batch across devices (and Columns across a 'data' axis if present).
+    `progress`: a sampler.progress.Progress — switches sampling to chunked
+    execution with refreshes between chunks.
     """
     from ..core.trace import Trace
-
-    import time as _time
 
     dtype = dtype or global_config.dtype()
     cd = model.density()
@@ -224,22 +271,66 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
     def lpg(q):
         return lpg_raw(q, cols)
 
-    chain_fn = build_chain_fn(lpg, cd.n_vars, cfg, dtype,
-                              collect_idx=collect_idx,
-                              pooled=cfg.pooled_adaptation)
-    batched = jax.vmap(chain_fn, axis_name=CHAIN_AXIS)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_chains)
+    sharding = None
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        sharding = NamedSharding(mesh, P("chains"))
+        sharding = _chain_sharding(mesh)
         keys = jax.device_put(keys, sharding)
-        batched = jax.jit(batched, in_shardings=sharding)
-    else:
-        batched = jax.jit(batched)
+
     t0 = _time.perf_counter()
-    result: ChainResult = batched(keys)
-    jax.block_until_ready(result.samples)
+    if progress is None:
+        chain_fn = build_chain_fn(lpg, cd.n_vars, cfg, dtype,
+                                  collect_idx=collect_idx)
+        batched = jax.vmap(chain_fn, axis_name=CHAIN_AXIS)
+        jitted = jax.jit(batched, in_shardings=sharding) \
+            if sharding is not None else jax.jit(batched)
+        result: ChainResult = jitted(keys)
+        jax.block_until_ready(result.samples)
+    else:
+        result = _chunked_sample(lpg, cd.n_vars, cfg, dtype, keys,
+                                 collect_idx, sharding, progress,
+                                 n_chains)
     walltime = _time.perf_counter() - t0
     return Trace.from_result(model, cd, result, cfg,
                              collect_idx=collect_idx, walltime=walltime)
+
+
+def _chunked_sample(lpg, n_vars, cfg, dtype, keys, collect_idx, sharding,
+                    progress, n_chains) -> ChainResult:
+    """Progress path: jitted warmup, then sampling in jitted chunks with
+    host refreshes between them (Driver.scala's throttled refresh)."""
+    progress.start(n_chains)
+    warm = jax.vmap(build_warmup_fn(lpg, n_vars, cfg, dtype,
+                                    cfg.pooled_adaptation),
+                    axis_name=CHAIN_AXIS)
+    warm = jax.jit(warm, in_shardings=sharding) if sharding is not None \
+        else jax.jit(warm)
+    wp: WarmupProduct = warm(keys)
+    jax.block_until_ready(wp.step_size)
+    progress.refresh("warmup complete", cfg.warmup_iterations,
+                     cfg.warmup_iterations, wp.warmup_stats, wp.step_size)
+
+    n_out = cfg.iterations // max(cfg.thin, 1)
+    n_chunks = min(20, max(n_out, 1))
+    chunk = max(n_out // n_chunks, 1)
+    sampling_fn = build_sampling_fn(lpg, cfg, dtype, chunk, collect_idx)
+    sfn = jax.jit(jax.vmap(sampling_fn, axis_name=CHAIN_AXIS,
+                           in_axes=(0, 0, 0)))
+    sstats0 = jax.vmap(lambda e: stats_init(dtype, e))(
+        wp.warmup_stats.prev_energy)
+    carry = SampleCarry(wp.key, wp.chain, wp.extra, sstats0)
+    pieces = []
+    done = 0
+    while done < n_out:
+        carry, samples = sfn(carry, wp.mass, wp.step_size)
+        jax.block_until_ready(samples)
+        pieces.append(np.asarray(samples))
+        done += chunk
+        progress.refresh("sampling", min(done, n_out) * max(cfg.thin, 1),
+                         cfg.iterations, carry.stats, wp.step_size)
+    samples = np.concatenate(pieces, axis=1)[:, :n_out]
+    progress.finish("complete", carry.stats, wp.step_size)
+    return ChainResult(samples=samples, mass=wp.mass,
+                       step_size=wp.step_size,
+                       warmup_stats=wp.warmup_stats, stats=carry.stats,
+                       final_q=carry.chain.q)

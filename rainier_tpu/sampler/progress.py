@@ -1,0 +1,77 @@
+"""Progress reporting (counterpart of sampler/Progress.scala:3-42).
+
+Because the hot loop is a compiled scan, per-iteration host callbacks are
+replaced by *chunked* reporting: with a Progress attached, the driver runs
+sampling in jitted chunks and refreshes between them with the carried
+StatsState — same information surface as the reference's throttled
+refresh (chain, message, iterations, BFMI, step size, acceptance rate;
+ConsoleProgress at Progress.scala:22-42) without breaking the compiled
+program.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+class Progress:
+    #: minimum seconds between refreshes (Progress.outputEverySeconds)
+    output_every_seconds: float = 0.5
+
+    def start(self, n_chains: int) -> None:
+        pass
+
+    def refresh(self, message: str, iterations: int, total: int, stats,
+                step_size) -> None:
+        pass
+
+    def finish(self, message: str, stats, step_size) -> None:
+        pass
+
+
+class SilentProgress(Progress):
+    output_every_seconds = 1e100
+
+
+class ConsoleProgress(Progress):
+    def __init__(self, out=sys.stderr):
+        self.out = out
+        self._last = 0.0
+        self._n_chains = 0
+        self._t0 = time.time()
+
+    def start(self, n_chains: int) -> None:
+        self._n_chains = n_chains
+        self._t0 = time.time()
+        print(f"sampling {n_chains} chains", file=self.out)
+
+    def _line(self, message, iterations, total, stats, step_size):
+        from .stats import accept_rate, bfmi
+
+        acc = float(np.mean(np.asarray(accept_rate(stats))))
+        b = float(np.mean(np.asarray(bfmi(stats))))
+        dv = int(np.sum(np.asarray(stats.divergences)))
+        ss = float(np.mean(np.asarray(step_size)))
+        rate = ""
+        ge = float(np.sum(np.asarray(stats.grad_evals)))
+        dt = time.time() - self._t0
+        if dt > 0:
+            rate = f" grad evals/s {ge / dt:,.0f}"
+        return (f"{message} {iterations}/{total}  accept {acc:.2f}  "
+                f"E-BFMI {b:.2f}  step {ss:.3g}  divergences {dv}{rate}")
+
+    def refresh(self, message, iterations, total, stats, step_size) -> None:
+        now = time.time()
+        if now - self._last < self.output_every_seconds:
+            return
+        self._last = now
+        print(self._line(message, iterations, total, stats, step_size),
+              file=self.out)
+
+    def finish(self, message, stats, step_size) -> None:
+        print(self._line(message, int(np.max(np.asarray(stats.iterations))),
+                         int(np.max(np.asarray(stats.iterations))), stats,
+                         step_size), file=self.out)
