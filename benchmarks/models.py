@@ -145,10 +145,8 @@ def logistic_regression(n: int = 100_000, p: int = 10, seed: int = 5):
     ys = (rng.uniform(size=n) < 1 / (1 + np.exp(-logits))).astype(float)
     alpha = rt.Normal(0, 5).latent()
     betas = rt.Normal(0, 5).latent_vec(p)
-    cols = [R.Column(x[:, j]) for j in range(p)]
-    lin = alpha
-    for j in range(p):
-        lin = lin + cols[j] * betas[j]
+    # design matrix as one MatColumn → X·β is an MXU matmul
+    lin = alpha + R.MatVec(R.MatColumn(x), betas.element)
     lh = R.RowSum(rt.Bernoulli(lin.logistic()).log_density_at(
         R.Column(ys)), n)
     return rt.Model.likelihood(lh)

@@ -26,6 +26,21 @@ import jax
 import jax.numpy as jnp
 
 
+def _eval_loop(f, iters):
+    """Chain `iters` sequential evals inside one jit (data dependence via
+    an infinitesimal gradient nudge) — measures sustained device latency/
+    throughput without per-call dispatch overhead."""
+
+    def loop(q):
+        def step(c, _):
+            lp, g = f(c)
+            return c + 1e-20 * g, lp
+
+        return jax.lax.scan(step, q, None, length=iters)
+
+    return jax.jit(loop)
+
+
 def bench_model(name: str, build_fn, n_chains: int):
     t0 = time.perf_counter()
     model = build_fn()
@@ -36,32 +51,27 @@ def bench_model(name: str, build_fn, n_chains: int):
     def f(q):
         return lpg(q, cols)
 
-    single = jax.jit(f)
     q = jnp.zeros((cd.n_vars,), jnp.float32)
-    out = single(q)
-    jax.block_until_ready(out)
+    jax.block_until_ready(jax.jit(f)(q))
     build_s = time.perf_counter() - t0
 
-    # single-eval latency (JMH run() analogue)
-    reps = 100
+    # sequential-eval latency (JMH run() analogue): 1000 dependent evals
+    seq_iters = 1000
+    seq = _eval_loop(f, seq_iters)
+    jax.block_until_ready(seq(q))
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = single(q)
-    jax.block_until_ready(out)
-    single_us = (time.perf_counter() - t0) / reps * 1e6
+    jax.block_until_ready(seq(q))
+    single_us = (time.perf_counter() - t0) / seq_iters * 1e6
 
-    # batched throughput: vmapped over a chain batch
-    batched = jax.jit(jax.vmap(f))
+    # batched throughput: chain batch of sequential evals
+    bat_iters = 50
+    bat = _eval_loop(jax.vmap(f), bat_iters)
     qs = jnp.zeros((n_chains, cd.n_vars), jnp.float32)
-    out = batched(qs)
-    jax.block_until_ready(out)
-    inner = 10
+    jax.block_until_ready(bat(qs))
     t0 = time.perf_counter()
-    for _ in range(inner):
-        out = batched(qs)
-    jax.block_until_ready(out)
+    jax.block_until_ready(bat(qs))
     dt = time.perf_counter() - t0
-    evals_per_s = n_chains * inner / dt
+    evals_per_s = n_chains * bat_iters / dt
 
     return {
         "model": name,

@@ -168,9 +168,11 @@ def bounds_of(node: R.Real, memo: dict | None = None):
             # Target.inlinable; we exploit it for guard elision.
             b = (float(n.values.min()), float(n.values.max())) \
                 if n.values.size else FULL
-        elif isinstance(n, R.IntColumn):
+        elif isinstance(n, (R.IntColumn, R.MatColumn)):
             b = (float(n.values.min()), float(n.values.max())) \
                 if n.values.size else FULL
+        elif isinstance(n, R.MatVec):
+            b = FULL
         elif isinstance(n, R.Unary):
             b = _unary_bounds(n.op, n.child._bounds)
         elif isinstance(n, R.Binary):

@@ -56,7 +56,7 @@ def find_parameters(roots: Sequence[R.Real]) -> list[R.Real]:
 def find_columns(roots: Sequence[R.Real]) -> list[R.Real]:
     cols: dict[int, R.Real] = {}
     for node in R.topological(list(roots)):
-        if isinstance(node, (R.Column, R.IntColumn)):
+        if isinstance(node, (R.Column, R.IntColumn, R.MatColumn)):
             cols.setdefault(node.id, node)
     return [cols[i] for i in sorted(cols)]
 

@@ -63,6 +63,9 @@ class _NumpyBackend:
     def take_along0(self, stacked, idx):
         return np.take_along_axis(stacked, idx[None, :], axis=0)[0]
 
+    def matvec(self, mat, vec):
+        return mat @ vec
+
 
 class _JaxBackend:
     name = "jax"
@@ -97,6 +100,11 @@ class _JaxBackend:
 
     def take_along0(self, stacked, idx):
         return self.np.take_along_axis(stacked, idx[None, :], axis=0)[0]
+
+    def matvec(self, mat, vec):
+        # the MXU path: X·β with preferred f32 accumulation
+        return self.np.matmul(mat, vec,
+                              preferred_element_type=self.np.float32)
 
 
 NUMPY_BACKEND = _NumpyBackend()
@@ -211,10 +219,13 @@ def evaluate(roots, env: Mapping[int, object], backend, dtype):
                 continue
             if isinstance(node, R.Constant):
                 memo[nid] = backend.asarray(node.value, dtype)
-            elif isinstance(node, (R.Column,)):
+            elif isinstance(node, (R.Column, R.MatColumn)):
                 memo[nid] = backend.asarray(node.values, dtype)
             elif isinstance(node, R.IntColumn):
                 memo[nid] = xp.asarray(node.values)
+            elif isinstance(node, R.MatVec):
+                memo[nid] = backend.matvec(memo[node.mat.id],
+                                           memo[node.vec.id])
             elif isinstance(node, (R.Parameter, R.VectorParameter)):
                 raise KeyError(
                     f"no value bound for parameter {node!r} ({node.name})")

@@ -239,13 +239,17 @@ class Column(Real):
 
     Evaluates to a rank-1 array of length ``n``; densities built over
     Columns broadcast to (n,) and are reduced by ``RowSum``.
+    ``matrix_ref`` optionally records that this column is a view of a
+    MatColumn (set by MatColumn.column), enabling the MXU dot-product
+    fast path in Vec.dot.
     """
 
-    __slots__ = ("values",)
+    __slots__ = ("values", "matrix_ref")
 
     def __init__(self, values):
         super().__init__()
         self.values = np.asarray(values, dtype=np.float64)
+        self.matrix_ref = None
         if self.values.ndim != 1:
             raise ValueError("Column data must be rank-1")
 
@@ -268,6 +272,54 @@ class IntColumn(Real):
     @property
     def n_rows(self) -> int:
         return int(self.values.shape[0])
+
+
+class MatColumn(Real):
+    """A rank-2 (n_rows, p) data leaf — a whole design matrix as ONE node.
+
+    TPU-native addition with no reference counterpart (the reference's Vec
+    of tuples becomes p scalar Columns): keeping the matrix intact lets
+    `MatVec` lower X·β to a real matmul that XLA tiles onto the MXU —
+    with a vmapped chain batch it becomes (n,p)@(p,chains), the systolic
+    array's native shape.  Scalar Column views are available for
+    elementwise use via `column(j)`.
+    """
+
+    __slots__ = ("values", "_views")
+
+    def __init__(self, values):
+        super().__init__()
+        self.values = np.asarray(values, dtype=np.float64)
+        if self.values.ndim != 2:
+            raise ValueError("MatColumn data must be rank-2")
+        self._views: dict[int, "Column"] = {}
+
+    @property
+    def n_rows(self) -> int:
+        return int(self.values.shape[0])
+
+    @property
+    def n_cols(self) -> int:
+        return int(self.values.shape[1])
+
+    def column(self, j: int) -> "Column":
+        if j not in self._views:
+            c = Column(self.values[:, j])
+            c.matrix_ref = (self, j)
+            self._views[j] = c
+        return self._views[j]
+
+
+class MatVec(Real):
+    """mat (n,p) @ vec (p,) → (n,): the design-matrix/latent-vector
+    product, lowered to the MXU."""
+
+    __slots__ = ("mat", "vec")
+
+    def __init__(self, mat: MatColumn, vec: Real):
+        super().__init__()
+        self.mat = mat
+        self.vec = vec
 
 
 class Unary(Real):
@@ -634,8 +686,10 @@ def children_of(node: Real) -> tuple[Real, ...]:
     """Structural children, used by all graph walks (iterative, no recursion
     — graphs from deep folds like ARK can exceed Python's stack)."""
     if isinstance(node, (Constant, Parameter, VectorParameter, Column,
-                         IntColumn)):
+                         IntColumn, MatColumn)):
         return ()
+    if isinstance(node, MatVec):
+        return (node.mat, node.vec)
     if isinstance(node, Unary):
         return (node.child,)
     if isinstance(node, Binary):

@@ -30,6 +30,57 @@ def _is_number_seq(xs) -> bool:
                for x in xs)
 
 
+def _common_matrix(elems):
+    """The MatColumn whose ordered column views `elems` are, or None."""
+    if not elems or not all(
+            isinstance(e, R.Column) and e.matrix_ref is not None
+            for e in elems):
+        return None
+    mat = elems[0].matrix_ref[0]
+    if any(e.matrix_ref[0] is not mat for e in elems):
+        return None
+    if [e.matrix_ref[1] for e in elems] != list(range(mat.n_cols)):
+        return None
+    return mat
+
+
+def _latent_axis_expr(vec: "Vec"):
+    """The single (k,)-shaped latent-axis expression backing `vec`, or
+    None.  Latent-axis = contains a VectorParameter and no data leaves
+    (so its axis is the parameter axis, not the observation axis)."""
+    if vec._vparam is not None:
+        return vec._vparam
+    e = vec._element
+    if e is None or isinstance(e, (tuple, dict)) or not isinstance(e, R.Real):
+        return None
+    has_vp = False
+    for node in R.topological([e]):
+        if isinstance(node, (R.Column, R.IntColumn, R.MatColumn)):
+            return None
+        if isinstance(node, R.VectorParameter):
+            has_vp = True
+    return e if has_vp else None
+
+
+def _try_matvec(a: "Vec", b: "Vec"):
+    """a = tuple-of-matrix-view-columns (or list of them), b = latent-axis
+    vector of matching width → MatVec(mat, b)."""
+    elems = None
+    if a._element is not None and isinstance(a._element, tuple):
+        elems = list(a._element)
+    elif a._elements is not None:
+        elems = list(a._elements)
+    if elems is None:
+        return None
+    mat = _common_matrix(elems)
+    if mat is None or b.size != len(elems):
+        return None
+    vexpr = _latent_axis_expr(b)
+    if vexpr is None:
+        return None
+    return R.MatVec(mat, vexpr)
+
+
 class Vec:
     """Immutable vector-of-T view (T: Real, tuple of Reals, dict of Reals,
     or Distribution)."""
@@ -59,10 +110,10 @@ class Vec:
                 return Vec(element=col, n=len(data))
             return Vec(element=R.Column(data), n=len(data))
         if isinstance(first, (tuple, list)):
-            cols = tuple(
-                R.Column(np.asarray([row[j] for row in data],
-                                    dtype=np.float64))
-                for j in range(len(first)))
+            # rows become one MatColumn; per-field Columns are views with a
+            # backpointer so dot() can rebuild the MXU matmul form
+            mat = R.MatColumn(np.asarray(data, dtype=np.float64))
+            cols = tuple(mat.column(j) for j in range(len(first)))
             return Vec(element=cols, n=len(data))
         if isinstance(first, dict):
             keys = list(first.keys())
@@ -145,8 +196,10 @@ class Vec:
         """Inner product over the vector axis (compute/Vec.scala dot)."""
         if self._n != other._n:
             raise ValueError("dot of unequal Vec lengths")
-        # tuple-of-columns · latent vector → dense affine form (the
-        # regression hot path: stays a fused multiply-add chain in XLA)
+        # design-matrix · latent-vector → one MatVec node (MXU matmul)
+        mv = _try_matvec(self, other) or _try_matvec(other, self)
+        if mv is not None:
+            return mv
         a, b = self, other
         if b.is_column and not a.is_column:
             a, b = b, a

@@ -46,7 +46,11 @@ class DiscreteConstant(Discrete):
 
     def generator(self):
         c = self.constant
-        return Generator(lambda key, env: env(c), frozenset([c]))
+        # int32 so mixture lax.switch branches share a dtype with the
+        # other discrete samplers
+        return Generator(
+            lambda key, env: jnp.round(env(c)).astype(jnp.int32),
+            frozenset([c]))
 
 
 class Bernoulli(Discrete):

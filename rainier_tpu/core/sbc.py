@@ -75,6 +75,21 @@ class SBC:
         dist, stat = self.fn([p.latent() for p in self.priors])
         return Model.observe(list(values), dist), stat
 
+    def _fit_template(self, n: int) -> tuple:
+        """One model graph per data length; repetitions swap the Column's
+        values in place so the compiled sampler program (cached on the
+        CompiledDensity) is reused across reps — the reference rebuilds
+        and re-compiles per repetition."""
+        if not hasattr(self, "_templates"):
+            self._templates = {}
+        if n not in self._templates:
+            col = R.Column(np.zeros(n))
+            dist, stat = self.fn([p.latent() for p in self.priors])
+            model = Model.likelihood(
+                R.RowSum(dist.log_density_at(col), n))
+            self._templates[n] = (model, stat, col)
+        return self._templates[n]
+
     def model(self, n_synthetic: int, seed: int = 0) -> tuple:
         data, _ = self.synthesize(n_synthetic, jax.random.PRNGKey(seed))
         return self.fit(data)
@@ -82,7 +97,9 @@ class SBC:
     # -- repetition -------------------------------------------------------
     def _sample_once(self, sampler_fn, n_synthetic, thin, key, seed):
         data, true_stat = self.synthesize(n_synthetic, key)
-        model, stat = self.fit(data)
+        model, stat, col = self._fit_template(n_synthetic)
+        col.values = np.asarray(data, dtype=np.float64)
+        col._bounds = None  # data changed; recompute interval on demand
         cfg = sampler_fn(SAMPLES * thin // CHAINS)
         trace = model.sample(cfg, n_chains=CHAINS, seed=seed)
         trace = trace.thin(thin) if thin > 1 else trace

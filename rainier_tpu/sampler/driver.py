@@ -102,7 +102,8 @@ def _initial_mass(mass_cfg, n_vars: int, dtype) -> MassState:
 
 def build_warmup_fn(lpg, n_vars: int, cfg: C.SamplerConfig, dtype,
                     pooled: bool = False):
-    """Returns warmup_fn(key) -> WarmupProduct (per chain; vmap it)."""
+    """Returns warmup_fn(key) -> WarmupProduct (per chain; vmap it).
+    `lpg` is a unary q -> (logp, grad) closure."""
     adaptive_step = isinstance(cfg.step_size, C.DualAvgStepSize)
     delta = cfg.step_size.delta if adaptive_step else 0.8
     kind = _mass_kind(cfg.mass_matrix)
@@ -279,12 +280,37 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
 
     t0 = _time.perf_counter()
     if progress is None:
-        chain_fn = build_chain_fn(lpg, cd.n_vars, cfg, dtype,
-                                  collect_idx=collect_idx)
-        batched = jax.vmap(chain_fn, axis_name=CHAIN_AXIS)
-        jitted = jax.jit(batched, in_shardings=sharding) \
-            if sharding is not None else jax.jit(batched)
-        result: ChainResult = jitted(keys)
+        # cache the compiled program on the CompiledDensity so repeated
+        # sampling of the same model shape (e.g. SBC repetitions with
+        # swapped data) skips retracing; columns are runtime arguments
+        try:
+            cache_key = (cfg, n_chains, str(dtype),
+                         None if collect_idx is None
+                         else tuple(np.asarray(collect_idx).tolist()),
+                         id(mesh))
+            hash(cache_key)
+        except TypeError:
+            cache_key = None
+        cache = getattr(cd, "_driver_cache", None)
+        if cache is None:
+            cache = cd._driver_cache = {}
+        jitted = cache.get(cache_key)
+        if jitted is None:
+            def chain_fn_cols(key, cols_arg):
+                def lpg_local(q):
+                    return lpg_raw(q, cols_arg)
+
+                fn = build_chain_fn(lpg_local, cd.n_vars, cfg, dtype,
+                                    collect_idx=collect_idx)
+                return fn(key)
+
+            batched = jax.vmap(chain_fn_cols, in_axes=(0, None),
+                               axis_name=CHAIN_AXIS)
+            jitted = jax.jit(batched, in_shardings=(sharding, None)) \
+                if sharding is not None else jax.jit(batched)
+            if cache_key is not None:
+                cache[cache_key] = jitted
+        result: ChainResult = jitted(keys, cols)
         jax.block_until_ready(result.samples)
     else:
         result = _chunked_sample(lpg, cd.n_vars, cfg, dtype, keys,
