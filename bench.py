@@ -45,7 +45,19 @@ def funnel_lpg():
     return lpg
 
 
-def main():
+def _time_runs(fn, args_list):
+    """fn returns a scalar; float() forces a real device sync (the remote
+    platform's block_until_ready is unreliable for timing)."""
+    float(fn(*args_list[0]))
+    times = []
+    for args in args_list[1:]:
+        t0 = time.perf_counter()
+        float(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def bench_xla_scan():
     from rainier_tpu.sampler import identity_mass
     from rainier_tpu.sampler.leapfrog import ChainState, hmc_transition
 
@@ -65,27 +77,46 @@ def main():
 
         (_, state), las = jax.lax.scan(step, (key, state), None,
                                        length=N_ITERS)
-        return state.q, las
+        return state.q, jnp.mean(jnp.exp(las))
 
-    run = jax.jit(jax.vmap(chain_run))
+    run = jax.jit(lambda keys, q0: (
+        lambda o: jnp.sum(o[0]) + jnp.sum(o[1]))(
+            jax.vmap(chain_run)(keys, q0)))
     keys = jax.random.split(jax.random.PRNGKey(0), N_CHAINS)
-    q0 = jnp.zeros((N_CHAINS, 10), jnp.float32)
+    args = [(jax.random.split(jax.random.PRNGKey(i), N_CHAINS),
+             jnp.zeros((N_CHAINS, 10), jnp.float32)) for i in range(4)]
+    return _time_runs(run, args)
 
-    # compile + warm up
-    out = run(keys, q0)
-    jax.block_until_ready(out)
 
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = run(keys, q0)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+def bench_pallas_fused():
+    from rainier_tpu.ops import fused_hmc
+
+    def lp2(q):  # (10, C) layout
+        y = q[0:1]
+        x = q[1:10]
+        return (-0.5 * (y / 3.0) ** 2 - 0.5 * jnp.sum(
+            x * x * jnp.exp(-y), axis=0, keepdims=True) - 4.5 * y)[0]
+
+    run = jax.jit(lambda q0: jnp.sum(fused_hmc(
+        lp2, q0, step_size=0.18, n_steps=N_STEPS, n_iterations=N_ITERS,
+        seed=0, collect_every=0, block_chains=512)[0]))
+    args = [(jnp.zeros((10, N_CHAINS), jnp.float32) + 0.01 * i,)
+            for i in range(4)]
+    return _time_runs(run, args)
+
+
+def main():
     grad_evals = N_CHAINS * N_ITERS * N_STEPS
+    dt_xla = bench_xla_scan()
+    try:
+        dt_pallas = bench_pallas_fused()
+    except Exception as e:
+        print(f"# pallas path failed ({e}); using XLA scan",
+              file=sys.stderr)
+        dt_pallas = float("inf")
+    dt = min(dt_xla, dt_pallas)
+    kernel = "pallas-fused" if dt_pallas < dt_xla else "xla-scan"
     rate = grad_evals / dt
-
-    accept = float(jnp.mean(jnp.exp(out[1])))
     print(json.dumps({
         "metric": "leapfrog grad evals/s/chip (Neal's funnel 10-dim, "
                   f"HMC {N_STEPS} steps, {N_CHAINS} chains)",
@@ -93,9 +124,9 @@ def main():
         "unit": "grad_evals_per_s",
         "vs_baseline": round(rate / BASELINE_GRAD_EVALS_PER_S, 2),
     }))
-    print(f"# walltime {dt:.3f}s for {grad_evals} evals; "
-          f"mean accept {accept:.2f}; device {jax.devices()[0]}",
-          file=sys.stderr)
+    print(f"# kernel {kernel}: xla {grad_evals/dt_xla/1e9:.2f}B/s, "
+          f"pallas {grad_evals/dt_pallas/1e9:.2f}B/s; "
+          f"device {jax.devices()[0]}", file=sys.stderr)
 
 
 if __name__ == "__main__":

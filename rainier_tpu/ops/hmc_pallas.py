@@ -1,0 +1,226 @@
+"""Fused HMC sampling loop as a Pallas TPU kernel.
+
+SURVEY.md §7 M4: "Pallas fused leapfrog (fuse momentum half-steps +
+position update + grad call to kill HBM round-trips for small n)".
+
+The XLA scan path writes (q, p, grad) back to HBM after every fused scan
+step; for small-n models (funnel: 10 dims) the hot loop is therefore HBM-
+bandwidth-bound.  This kernel keeps the whole chain-block state resident
+in VMEM for the *entire* sampling run — leapfrog steps, Metropolis
+accepts, and the per-iteration RNG (on-core PRNG + Box-Muller) never
+touch HBM; collected draws stream out via async DMA.
+
+Layout: state is (dim_pad, C) with the chain axis on lanes (C a multiple
+of 128) and dim padded to the f32 sublane tile (8), so every elementwise
+op vectorizes across chains on the VPU and reductions over `dim` are
+cheap sublane reductions.
+
+The target log-density is a traceable ``lp_fn(q: (dim, C)) -> (C,)`` in
+jnp ops — it must not close over device arrays (pallas kernels reject
+captured constants; route data via standardization or future column
+inputs); its gradient is taken with jax.grad *inside* the kernel body
+(traced before Mosaic lowering) — any model expressible on a (dim, C)
+block works, no hand-written adjoint.  Mass-matrix preconditioning is
+applied by running in standardized coordinates (q' = q/√Σ̂ with the
+density reparameterized), so the kernel itself always integrates with
+identity mass — same trajectories, fewer in-kernel ops.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TWO_PI = 2.0 * math.pi
+
+
+def _uniform_from_bits(bits):
+    """uint32 → float32 uniform in (0, 1): force exponent to [1,2)."""
+    f = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
+    return f - 1.0 + 1.1920929e-7  # strictly > 0 for log()
+
+
+def _rand_uniform(shape):
+    return _uniform_from_bits(
+        pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+
+
+def _normals(shape):
+    """Box–Muller from the on-core PRNG."""
+    u1 = _rand_uniform(shape)
+    u2 = _rand_uniform(shape)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def fused_hmc(lp_fn: Callable, q0, *, step_size: float, n_steps: int,
+              n_iterations: int, seed: int, inv_mass_diag=None,
+              collect_every: int = 0, block_chains: int = 512,
+              interpret: bool = False):
+    """HMC with `n_steps` leapfrog steps × `n_iterations`, state resident
+    in VMEM.
+
+    q0: (dim, n_chains), n_chains % block_chains == 0.
+    inv_mass_diag: (dim,) Σ̂ diagonal (as adapted by the driver) or None.
+    collect_every: 0 → return only final q; k → also stream every k-th
+    draw to HBM.
+
+    Returns (final_q (dim, n_chains),
+             samples (n_out, dim, n_chains) or None,
+             accept_rate (n_chains,)).
+    """
+    dim, n_chains = q0.shape
+    assert n_chains % block_chains == 0, (n_chains, block_chains)
+    grid = n_chains // block_chains
+    dim_pad = _round_up(dim, 8)
+    eps = float(step_size)  # python literal: folded into the kernel
+
+    q0 = jnp.asarray(q0, jnp.float32)
+    if inv_mass_diag is not None:
+        scale = jnp.sqrt(jnp.asarray(inv_mass_diag, jnp.float32))
+        q0 = q0 / scale[:, None]
+    else:
+        scale = None
+
+    # standardization scale travels as a kernel input (ones = identity);
+    # captured arrays are not allowed in pallas kernel bodies
+    scale_pad = jnp.ones((dim_pad, 128), jnp.float32)
+    if scale is not None:
+        scale_pad = scale_pad.at[:dim, :].set(scale[:, None])
+
+    qp0 = jnp.zeros((dim_pad, n_chains), jnp.float32).at[:dim].set(q0)
+    n_out = (n_iterations // collect_every) if collect_every else 0
+
+    def kernel(seed_ref, q_ref, scale_ref, qout_ref, acc_ref, *rest):
+        if collect_every:
+            samples_hbm, scratch, sem = rest
+        block = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + block * 7919)
+        sc = scale_ref[:, 0:1]  # (dim_pad, 1)
+
+        def lp_pad(qp):
+            # keep per-chain scalars rank-2 (1, C): Mosaic dislikes 1-D
+            # full (8, C) sublane tile: Mosaic mishandles (1, C) loop
+            # carries ("sublane broadcast" not implemented)
+            lp1 = lp_fn((qp * sc)[:dim]).reshape(1, block_chains)
+            return jnp.broadcast_to(lp1, (8, block_chains))
+
+        def grad_pad(qp):
+            return jax.grad(
+                lambda qq: jnp.sum(lp_pad(qq)) / 8.0)(qp)
+
+        q = q_ref[:, :]
+        lp = lp_pad(q)
+        grad = grad_pad(q)
+
+        def iteration(it, carry):
+            q, lp, grad, acc = carry
+            p0 = _normals((dim_pad, block_chains))
+            k0 = jnp.sum(p0 * p0, axis=0, keepdims=True)
+            h0 = -lp + 0.5 * jnp.broadcast_to(k0, (8, block_chains))
+
+            p = p0 + 0.5 * eps * grad
+            qn = q + eps * p
+            lpn = lp_pad(qn)
+            gn = grad_pad(qn)
+
+            def leap(_, c):
+                qn, p, lpn, gn = c
+                p = p + eps * gn
+                qn = qn + eps * p
+                lpn = lp_pad(qn)
+                gn = grad_pad(qn)
+                return qn, p, lpn, gn
+
+            qn, p, lpn, gn = jax.lax.fori_loop(0, n_steps - 1, leap,
+                                               (qn, p, lpn, gn))
+            p = p + 0.5 * eps * gn
+            k1 = jnp.sum(p * p, axis=0, keepdims=True)
+            h1 = -lpn + 0.5 * jnp.broadcast_to(k1, (8, block_chains))
+            la = jnp.minimum(-(h1 - h0), 0.0)
+            la = jnp.where(jnp.isnan(la), -jnp.inf, la)   # (8, C)
+            u = _rand_uniform((8, block_chains))
+            u = jnp.broadcast_to(u[0:1], (8, block_chains))
+            take = jnp.log(u) < la                         # (8, C)
+            takeq = jnp.broadcast_to(take[0:1], (dim_pad, block_chains))
+            q = jnp.where(takeq, qn, q)
+            lp = jnp.where(take, lpn, lp)
+            grad = jnp.where(takeq, gn, grad)
+            acc = acc + jnp.exp(la)
+
+            if collect_every:
+                @pl.when(it % collect_every == collect_every - 1)
+                def _():
+                    scratch[:, :] = q
+                    out_idx = it // collect_every
+                    dma = pltpu.make_async_copy(
+                        scratch,
+                        samples_hbm.at[out_idx, :,
+                                       pl.ds(block * block_chains,
+                                             block_chains)],
+                        sem)
+                    dma.start()
+                    dma.wait()
+
+            return q, lp, grad, acc
+
+        acc0 = jnp.zeros((8, block_chains), jnp.float32)
+        q, lp, grad, acc = jax.lax.fori_loop(
+            0, n_iterations, iteration, (q, lp, grad, acc0))
+        qout_ref[:, :] = q
+        acc_ref[:, :] = acc[0:1] / n_iterations
+
+    out_shape = [
+        jax.ShapeDtypeStruct((dim_pad, n_chains), jnp.float32),
+        jax.ShapeDtypeStruct((1, n_chains), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((dim_pad, block_chains), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_chains), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    scratch_shapes = []
+    if collect_every:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (n_out, dim_pad, n_chains), jnp.float32))
+        # ANY-space outputs must be unblocked; each grid step DMAs into
+        # its own chain-column slice
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        scratch_shapes = [
+            pltpu.VMEM((dim_pad, block_chains), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+
+    results = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((dim_pad, block_chains), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim_pad, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), qp0, scale_pad)
+
+    qf = results[0][:dim]
+    acc = results[1][0]
+    samples = results[2][:, :dim] if collect_every else None
+    if scale is not None:
+        qf = qf * scale[:, None]
+        if samples is not None:
+            samples = samples * scale[None, :, None]
+    return qf, samples, acc
