@@ -17,5 +17,13 @@ from .core import (Beta, Bernoulli, BetaBinomial, Binomial, Cauchy,
                    Distribution, Exponential, Gamma, Generator, Geometric,
                    Laplace, LogNormal, Mixture, Model, Multinomial,
                    NegativeBinomial, Normal, Poisson, Uniform)
+from . import sampler
+from .sampler import (EHMC, HMC, NUTS, SamplerConfig, StaticMassMatrix,
+                      StaticStepSize)
+from . import parallel
+from . import variational
+from .variational import advi
+from . import viz
+from . import inspect as inspection
 
 __version__ = "0.1.0"
