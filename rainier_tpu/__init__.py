@@ -16,7 +16,7 @@ from .core import (Beta, Bernoulli, BetaBinomial, Binomial, Cauchy,
                    Continuous, Discrete, DiscreteConstant, DiscreteMixture,
                    Distribution, Exponential, Gamma, Generator, Geometric,
                    Laplace, LogNormal, Mixture, Model, Multinomial,
-                   NegativeBinomial, Normal, Poisson, Uniform)
+                   MVNormal, NegativeBinomial, Normal, Poisson, Uniform)
 from . import sampler
 from .sampler import (EHMC, HMC, NUTS, SamplerConfig, StaticMassMatrix,
                       StaticStepSize)

@@ -28,3 +28,6 @@ from .sbc import SBC, Rep, rank_uniformity_pvalue  # noqa: E402
 from .trace import Diagnostics, Trace  # noqa: E402
 
 __all__ += ["SBC", "Rep", "rank_uniformity_pvalue", "Diagnostics", "Trace"]
+from .mvnormal import MVNormal  # noqa: E402
+
+__all__ += ["MVNormal"]

@@ -1,0 +1,128 @@
+"""End-to-end checks on the BASELINE.md model configs: posterior moments
+must match the well-known reference values within Monte-Carlo error
+(SURVEY.md §4: the acceptance criterion replacing exact goldsets)."""
+
+import numpy as np
+import pytest
+
+import rainier_tpu as rt
+from rainier_tpu.sampler import NUTS, SamplerConfig, HMC
+
+
+def test_eight_schools_nuts():
+    """Eight-schools hierarchical normal with NUTS + full adaptation
+    (BASELINE config 3).  With the Stan stat_comp_benchmarks priors
+    (mu ~ N(0,5), tau = |Cauchy(0,5)|) the posterior shrinks the
+    flat-prior BDA value (~7.9) toward ~4-6."""
+    from benchmarks.models import EIGHT_SCHOOLS_SIGMA, EIGHT_SCHOOLS_Y
+
+    mu = rt.Normal(0, 5).latent()
+    tau = rt.Cauchy(0, 5).latent().abs()
+    thetas = rt.Normal(mu, tau).latent_vec(8)
+    model = rt.Model.empty()
+    for i, (y, s) in enumerate(zip(EIGHT_SCHOOLS_Y, EIGHT_SCHOOLS_SIGMA)):
+        model = model.merge(rt.Model.observe([y], rt.Normal(thetas[i], s)))
+    cfg = SamplerConfig(warmup_iterations=1000, iterations=1500,
+                        sampler=NUTS(max_depth=8))
+    tr = model.sample(cfg, n_chains=4, seed=0)
+    d = tr.diagnostics()
+    assert max(x.r_hat for x in d) < 1.1
+    mu_draws = tr.evaluate(mu)
+    tau_draws = tr.evaluate(tau)
+    assert 2.5 < mu_draws.mean() < 7.5, mu_draws.mean()
+    assert 1.5 < tau_draws.mean() < 9.0, tau_draws.mean()
+    # posterior predictive for school 0 should shrink toward mu
+    th0 = tr.evaluate(thetas[0])
+    assert mu_draws.mean() < th0.mean() < 28.0
+
+
+def test_funnel_hmc_reference_config():
+    """Neal's funnel, HMC 5 leapfrog steps (BASELINE config 1):
+    y-marginal must be N(0,3) within MC error."""
+    y = rt.Normal(0.0, 3.0).latent()
+    xv = rt.Normal(0.0, (y / 2).exp()).latent_vec(9)
+    m = rt.Model.track_({y} | set(xv.to_list()))
+    cfg = SamplerConfig(warmup_iterations=1000, iterations=2500,
+                        sampler=HMC(5))
+    tr = m.sample(cfg, n_chains=4, seed=0)
+    ys = tr.evaluate(y)
+    assert abs(ys.mean()) < 0.3
+    assert abs(ys.std() - 3.0) < 0.35
+    assert max(d.r_hat for d in tr.diagnostics()) < 1.1
+
+
+def test_logistic_regression_sharded():
+    """Logistic regression with data-sharded likelihood (BASELINE config
+    4, scaled down for CI) — posterior must recover the coefficients."""
+    from rainier_tpu.compute import real as R
+    from rainier_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(0)
+    n, p = 4096, 4
+    x = rng.normal(size=(n, p))
+    true_b = np.array([1.0, -0.5, 0.25, 0.0])
+    probs = 1 / (1 + np.exp(-(x @ true_b)))
+    ys = (rng.uniform(size=n) < probs).astype(float)
+    betas = rt.Normal(0, 5).latent_vec(p)
+    lin = R.MatVec(R.MatColumn(x), betas.element)
+    lh = R.RowSum(rt.Bernoulli(lin.logistic()).log_density_at(
+        R.Column(ys)), n)
+    model = rt.Model.likelihood(lh)
+    mesh = make_mesh(n_chain_shards=4, n_data_shards=2)
+    cfg = SamplerConfig(warmup_iterations=400, iterations=600,
+                        sampler=HMC(8))
+    tr = model.sample(cfg, n_chains=4, seed=0, mesh=mesh)
+    est = np.asarray([tr.mean(betas[i]) for i in range(p)])
+    assert np.all(np.abs(est - true_b) < 0.2), est
+
+
+def test_glmm_gather_path():
+    """Hierarchical GLMM with latent-vector gathers (BASELINE config 5,
+    scaled down): group effects must be recovered."""
+    from rainier_tpu.compute import real as R
+
+    rng = np.random.default_rng(1)
+    n_groups, per = 50, 20
+    true_mu, true_sd = 1.0, 0.5
+    effects_true = rng.normal(true_mu, true_sd, n_groups)
+    gid = np.repeat(np.arange(n_groups), per)
+    counts = rng.poisson(np.exp(effects_true)[gid]).astype(float)
+
+    mu = rt.Normal(0, 1).latent()
+    sd = rt.Exponential(1.0).latent()
+    effects = rt.Normal(mu, sd).latent_vec(n_groups)
+    log_lam = R.Gather(effects.element, R.IntColumn(gid))
+    lh = R.RowSum(rt.Poisson(log_lam.exp()).log_density_at(
+        R.Column(counts)), len(counts))
+    model = rt.Model.likelihood(lh)
+    cfg = SamplerConfig(warmup_iterations=500, iterations=800,
+                        sampler=HMC(8))
+    tr = model.sample(cfg, n_chains=2, seed=0)
+    assert abs(tr.mean(mu) - true_mu) < 0.25
+    assert abs(tr.mean(sd) - true_sd) < 0.25
+
+
+def test_diagnostics_golden():
+    """r̂/ESS formulas against independently hand-computed values on a
+    fixed synthetic trace (Stan manual §30.3/30.4 arithmetic)."""
+    from rainier_tpu.core.trace import _diagnostics_all
+
+    rng = np.random.default_rng(0)
+    # two chains with different means → r̂ must exceed 1
+    c1 = rng.normal(0.0, 1.0, size=500)
+    c2 = rng.normal(1.5, 1.0, size=500)
+    chains = np.stack([c1, c2])[:, :, None]
+    r_hat, ess = _diagnostics_all(chains)
+    # hand-compute rHat
+    n, m = 500, 2
+    means = chains[:, :, 0].mean(axis=1)
+    b = n / (m - 1) * ((means - means.mean()) ** 2).sum()
+    w = chains[:, :, 0].var(axis=1, ddof=1).mean()
+    v = (n - 1) / n * w + b / n
+    assert abs(r_hat[0] - np.sqrt(v / w)) < 1e-10
+    assert r_hat[0] > 1.2
+    # iid chains from the same dist: r̂≈1, ESS near n*m
+    c3 = rng.normal(0, 1, size=(4, 500, 1))
+    r2, e2 = _diagnostics_all(c3)
+    assert abs(r2[0] - 1.0) < 0.02
+    assert e2[0] > 1200
