@@ -118,6 +118,15 @@ class Model:
         return run_sample(self, config, n_chains=n_chains, seed=seed,
                           **kwargs)
 
+    def smc(self, config=None, seed: int = 0, **kwargs):
+        """Tempered SMC with systematic resampling — returns
+        (Trace, SMCResult); SMCResult.log_evidence estimates the model
+        evidence.  No reference counterpart (the reference is HMC-only);
+        see sampler/smc.py."""
+        from ..sampler.smc import smc as run
+
+        return run(self, config, seed=seed, **kwargs)
+
     def optimize(self, t=None, seed: int = 0, **kwargs):
         """MAP via L-BFGS (core/Model.scala:26-30); returns the optimum of
         `t` (a Real / structure of Reals / Generator) at the MAP point, or

@@ -5,6 +5,7 @@ from .config import (EHMC, HMC, NUTS, DenseMassMatrixTuner,
 from .driver import build_chain_fn, sample
 from .leapfrog import ChainState, hmc_transition, leapfrog
 from .mass import MassState, dense_mass, diag_mass, identity_mass
+from .smc import SMCConfig, SMCResult, run_smc, smc, systematic_resample
 from .stats import StatsState, accept_rate, bfmi
 
 __all__ = [
@@ -12,6 +13,7 @@ __all__ = [
     "DualAvgStepSize", "IdentityMassMatrix", "SamplerConfig",
     "StaticMassMatrix", "StaticStepSize", "ehmc", "hmc", "nuts",
     "build_chain_fn", "sample", "ChainState", "hmc_transition", "leapfrog",
-    "MassState", "dense_mass", "diag_mass", "identity_mass", "StatsState",
-    "accept_rate", "bfmi",
+    "MassState", "dense_mass", "diag_mass", "identity_mass",
+    "SMCConfig", "SMCResult", "run_smc", "smc", "systematic_resample",
+    "StatsState", "accept_rate", "bfmi",
 ]
