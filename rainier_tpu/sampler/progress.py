@@ -75,3 +75,83 @@ class ConsoleProgress(Progress):
         print(self._line(message, int(np.max(np.asarray(stats.iterations))),
                          int(np.max(np.asarray(stats.iterations))), stats,
                          step_size), file=self.out)
+
+
+class HTMLProgress(Progress):
+    """Live-updating per-chain HTML table for Jupyter (counterpart of
+    rainier-notebook HTMLProgress.scala:8-81: iterations, accept rate,
+    E-BFMI, step size, divergences per chain, refreshed in place via an
+    IPython display handle).  Falls back to ConsoleProgress when IPython
+    is unavailable."""
+
+    MAX_ROWS = 16  # at 4096 chains a per-chain table is useless; cap it
+
+    def __init__(self):
+        self._handle = None
+        self._t0 = time.time()
+        self._last = 0.0
+        self._n_chains = 0
+        try:
+            from IPython.display import display, HTML  # noqa: F401
+
+            self._display = display
+            self._HTML = HTML
+        except ImportError:  # pragma: no cover - notebook-only path
+            self._display = None
+            self._fallback = ConsoleProgress()
+
+    def start(self, n_chains: int) -> None:
+        self._n_chains = n_chains
+        self._t0 = time.time()
+        if self._display is None:
+            self._fallback.start(n_chains)
+
+    def _render(self, message, iterations, total, stats, step_size) -> str:
+        from .stats import accept_rate, bfmi
+
+        acc = np.atleast_1d(np.asarray(accept_rate(stats)))
+        b = np.atleast_1d(np.asarray(bfmi(stats)))
+        dv = np.atleast_1d(np.asarray(stats.divergences))
+        ss = np.atleast_1d(np.asarray(step_size))
+        n = min(len(acc), self.MAX_ROWS)
+        pct = 100.0 * iterations / max(total, 1)
+        rows = "".join(
+            f"<tr><td>{i}</td><td>{acc[i]:.2f}</td><td>{b[i]:.2f}</td>"
+            f"<td>{ss[min(i, len(ss) - 1)]:.3g}</td>"
+            f"<td>{int(dv[i])}</td></tr>"
+            for i in range(n))
+        more = ("<tr><td colspan=5>… "
+                f"{len(acc) - n} more chains</td></tr>" if len(acc) > n
+                else "")
+        return (f"<div><b>{message}</b> {iterations}/{total} ({pct:.0f}%)"
+                f"<table><tr><th>chain</th><th>accept</th><th>E-BFMI</th>"
+                f"<th>step</th><th>divergences</th></tr>{rows}{more}"
+                f"</table></div>")
+
+    def refresh(self, message, iterations, total, stats, step_size) -> None:
+        if self._display is None:
+            self._fallback.refresh(message, iterations, total, stats,
+                                   step_size)
+            return
+        now = time.time()
+        if now - self._last < self.output_every_seconds:
+            return
+        self._last = now
+        html = self._HTML(self._render(message, iterations, total, stats,
+                                       step_size))
+        if self._handle is None:
+            self._handle = self._display(html, display_id=True)
+        else:
+            self._handle.update(html)
+
+    def finish(self, message, stats, step_size) -> None:
+        if self._display is None:
+            self._fallback.finish(message, stats, step_size)
+            return
+        total = int(np.max(np.asarray(stats.iterations)))
+        html = self._HTML(self._render(message, total, total, stats,
+                                       step_size))
+        if self._handle is None:
+            self._display(html, display_id=True)
+        else:
+            self._handle.update(html)

@@ -196,3 +196,29 @@ def test_divergence_counting():
                         mass_matrix=IdentityMassMatrix())
     res = run_raw(lpg, 2, cfg)
     assert int(np.sum(np.asarray(res.stats.divergences))) > 0
+
+
+def test_progress_console_and_html():
+    """Chunked driver path with Progress attached (HTMLProgress.scala's
+    stat surface: per-chain accept / E-BFMI / step / divergences)."""
+    import io
+
+    from rainier_tpu.sampler import ConsoleProgress, HTMLProgress
+
+    mu = rt.Normal(0, 1).latent()
+    model = rt.Model.observe([0.5, 1.0, 0.2], rt.Normal(mu, 1))
+    cfg = SamplerConfig(warmup_iterations=50, iterations=50,
+                        sampler=HMC(5))
+
+    buf = io.StringIO()
+    cp = ConsoleProgress(out=buf)
+    cp.output_every_seconds = 0.0
+    model.sample(cfg, n_chains=4, seed=0, progress=cp)
+    out = buf.getvalue()
+    assert "accept" in out and "E-BFMI" in out
+
+    hp = HTMLProgress()
+    hp.output_every_seconds = 0.0
+    trace = model.sample(cfg, n_chains=4, seed=0, progress=hp)
+    html = hp._render("sampling", 50, 50, trace.stats, trace.step_size)
+    assert "<table>" in html and "divergences" in html
