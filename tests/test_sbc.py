@@ -11,38 +11,9 @@ CI samples a few repetitions per model family.
 import numpy as np
 import pytest
 
-import rainier_tpu as rt
-from rainier_tpu.core import SBC, rank_uniformity_pvalue
-from rainier_tpu.core.continuous import (Exponential, Gamma, Laplace,
-                                         LogNormal, Uniform)
+from goldset_zoo import zoo
+from rainier_tpu.core import rank_uniformity_pvalue
 from rainier_tpu.sampler import HMC, SamplerConfig
-
-
-def zoo():
-    """(name, SBC) pairs shaped like SBCModel.scala:6-267's goldset."""
-    return [
-        ("uniform_normal", SBC.of(Uniform(0, 1),
-                                  lambda x: rt.Normal(x, 1.0))),
-        ("lognormal", SBC.of(LogNormal(0, 0.5),
-                             lambda x: rt.Normal(x, 1.0))),
-        ("exponential", SBC.of(Exponential(0.5),
-                               lambda x: rt.Normal(x, 1.0))),
-        ("laplace", SBC.of(Laplace(0, 1), lambda x: rt.Normal(x, 1.0))),
-        ("gamma_normal", SBC.of(Gamma(2.0, 2.0),
-                                lambda x: rt.Normal(x, 2.0))),
-        ("bernoulli", SBC.of(Uniform(0, 1), lambda x: rt.Bernoulli(x))),
-        ("binomial", SBC.of(rt.Beta(1.0, 1.0),
-                            lambda x: rt.Binomial(x, 10.0))),
-        ("geometric", SBC.of(Uniform(0, 1), lambda x: rt.Geometric(x))),
-        ("neg_binomial", SBC.of(Uniform(0, 1),
-                                lambda x: rt.NegativeBinomial(x, 10.0))),
-        ("poisson", SBC.of(Gamma(2.0, 2.0), lambda x: rt.Poisson(x))),
-        ("large_poisson", SBC.of(Gamma(2.0, 50.0),
-                                 lambda x: rt.Poisson(x))),
-        ("zero_inflated_geometric",
-         SBC.of(Uniform(0, 1),
-                lambda x: rt.Geometric(x).zero_inflated(0.3))),
-    ]
 
 
 def _cfg(n):
