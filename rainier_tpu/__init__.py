@@ -46,7 +46,8 @@ from .core import (Beta, Bernoulli, BetaBinomial, Binomial, Cauchy,
                    Continuous, Discrete, DiscreteConstant, DiscreteMixture,
                    Distribution, Exponential, Gamma, Generator, Geometric,
                    Laplace, LogNormal, Mixture, Model, Multinomial,
-                   MVNormal, NegativeBinomial, Normal, Poisson, Uniform)
+                   MVNormal, NegativeBinomial, Normal, Poisson, Uniform,
+                   MarginalizedLatent, marginalize)
 from . import sampler
 from .sampler import (EHMC, HMC, NUTS, SamplerConfig, StaticMassMatrix,
                       StaticStepSize)

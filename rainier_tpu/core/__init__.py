@@ -31,3 +31,7 @@ __all__ += ["SBC", "Rep", "rank_uniformity_pvalue", "Diagnostics", "Trace"]
 from .mvnormal import MVNormal  # noqa: E402
 
 __all__ += ["MVNormal"]
+from .marginal import (MarginalizedLatent, enumerated_support,  # noqa: E402
+                       marginalize)
+
+__all__ += ["MarginalizedLatent", "enumerated_support", "marginalize"]
