@@ -47,7 +47,8 @@ from .core import (Beta, Bernoulli, BetaBinomial, Binomial, Cauchy,
                    Distribution, Exponential, Gamma, Generator, Geometric,
                    Laplace, LogNormal, Mixture, Model, Multinomial,
                    MVNormal, NegativeBinomial, Normal, Poisson, Uniform,
-                   MarginalizedLatent, marginalize)
+                   MarginalizedLatent, marginalize, auto_vip, vip_latent,
+                   vip_latent_vec)
 from . import sampler
 from .sampler import (EHMC, HMC, NUTS, SamplerConfig, StaticMassMatrix,
                       StaticStepSize)

@@ -35,3 +35,7 @@ from .marginal import (MarginalizedLatent, enumerated_support,  # noqa: E402
                        marginalize)
 
 __all__ += ["MarginalizedLatent", "enumerated_support", "marginalize"]
+from .reparam import (AutoVIPResult, auto_vip, vip_latent,  # noqa: E402
+                      vip_latent_vec)
+
+__all__ += ["AutoVIPResult", "auto_vip", "vip_latent", "vip_latent_vec"]
