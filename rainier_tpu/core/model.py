@@ -118,6 +118,25 @@ class Model:
         return run_sample(self, config, n_chains=n_chains, seed=seed,
                           **kwargs)
 
+    @staticmethod
+    def sample_prior(t, n: int = 1000, seed: int = 0, config=None):
+        """Exploratory prior sampling: draw from the prior of every latent
+        reachable from `t` and evaluate `t` at each draw (the reference's
+        `Model.sample(t)` convenience, core/Model.scala:52-60 — there, as
+        here, it runs the default sampler on the prior-only model).
+
+        `t` is a Real or a list/tuple of Reals; returns an (n, ...) array
+        (or a list of them, matching `t`'s structure)."""
+        from ..sampler import SamplerConfig
+
+        single = isinstance(t, R.Real)
+        exprs = [t] if single else list(t)
+        model = Model.track_(exprs)
+        cfg = config or SamplerConfig(500, max(n // 4, 1))
+        trace = model.sample(cfg, n_chains=4, seed=seed)
+        vals = trace.evaluate(exprs)
+        return vals[0] if single else vals
+
     def smc(self, config=None, seed: int = 0, **kwargs):
         """Tempered SMC with systematic resampling — returns
         (Trace, SMCResult); SMCResult.log_evidence estimates the model

@@ -174,3 +174,20 @@ def test_generators_basic():
                      rt.Normal(4.0, 0.5): 0.5}).generator()
     draws = jax.vmap(lambda k: gm.get(k))(keys)
     assert abs(float(jnp.mean(draws)) - 2.0) < 0.3
+
+
+def test_model_sample_prior():
+    """Model.sample_prior (core/Model.scala:52-60's exploratory
+    convenience): joint prior draws respect supports and dependence."""
+    import rainier_tpu as rt
+
+    a = rt.Uniform(0, 1).latent()
+    c = rt.Normal(a + 1, a).latent()
+    da, dc = rt.Model.sample_prior([a, c], n=400, seed=0)
+    assert da.shape == dc.shape and da.shape[0] >= 400
+    assert np.all((da > 0) & (da < 1))
+    # E[c | a] = a + 1 => corr(a, c) > 0 and overall mean near 1.5
+    assert abs(float(np.mean(dc)) - 1.5) < 0.2
+    assert float(np.corrcoef(da, dc)[0, 1]) > 0.1
+    single = rt.Model.sample_prior(a, n=200, seed=1)
+    assert single.ndim == 1
