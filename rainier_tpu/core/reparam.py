@@ -26,7 +26,6 @@ program per candidate, no Python in the hot path.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Callable, Sequence
 
@@ -34,43 +33,59 @@ from ..compute import bounds
 from ..compute import real as R
 from ..compute.vec import Vec
 
-_HALF_LOG_2PI = 0.5 * math.log(2 * math.pi)
 
-
-def _vip_prior(location: R.Real, scale: R.Real, lam: R.Real):
-    """log N(p; lam*mu, sigma^lam) as a function of the raw parameter."""
+def _vip_prior(family, location: R.Real, scale: R.Real, lam: R.Real):
+    """log Fam((p - lam*mu) / sigma^lam) - lam*log(sigma), the density of
+    the raw parameter x_raw ~ Fam(lam*mu, sigma^lam)."""
 
     def prior(p: R.Real) -> R.Real:
         sd = scale.pow(lam)
         z = (p - lam * location) / sd
-        return (z * z) / -2.0 - sd.log() - _HALF_LOG_2PI
+        return family._std_log_density(z) - sd.log()
 
     return prior
 
 
-def vip_latent(location, scale, lam=0.0) -> R.Real:
-    """A Normal(location, scale) latent at interpolation weight ``lam``.
+def _vip_family(family):
+    from .continuous import Normal, _LocationScaleFamily
+
+    family = Normal if family is None else family
+    if not isinstance(family, _LocationScaleFamily):
+        raise TypeError("VIP applies to location-scale families "
+                        "(Normal/Cauchy/Laplace); got "
+                        f"{type(family).__name__}")
+    return family
+
+
+def _vip_args(location, scale, lam):
+    location, scale = R.to_real(location), R.to_real(scale)
+    lam = R.to_real(lam)
+    bounds.check(scale, "σ >= 0", lambda v: v >= 0.0)
+    bounds.check(lam, "0 <= λ <= 1", lambda v: 0.0 <= v <= 1.0)
+    return location, scale, lam
+
+
+def vip_latent(location, scale, lam=0.0, family=None) -> R.Real:
+    """A location-scale latent at interpolation weight ``lam``.
 
     ``vip_latent(mu, s, 0.0)`` is equivalent to ``Normal(mu, s).latent()``
     (non-centered); ``lam=1.0`` is the centered parameterization; values
     between interpolate (VIP, arXiv:1906.03028 §3).  location/scale may be
-    Reals (hierarchical parents)."""
-    location, scale = R.to_real(location), R.to_real(scale)
-    lam = R.to_real(lam)
-    bounds.check(scale, "σ >= 0", lambda v: v >= 0.0)
-    bounds.check(lam, "0 <= λ <= 1", lambda v: 0.0 <= v <= 1.0)
-    x_raw = R.parameter(_vip_prior(location, scale, lam))
+    Reals (hierarchical parents).  ``family`` defaults to Normal; any
+    location-scale family (Cauchy, Laplace) works — VIP only needs the
+    standard member's density."""
+    family = _vip_family(family)
+    location, scale, lam = _vip_args(location, scale, lam)
+    x_raw = R.parameter(_vip_prior(family, location, scale, lam))
     return location + scale.pow(R.one - lam) * (x_raw - lam * location)
 
 
-def vip_latent_vec(location, scale, k: int, lam=0.0) -> Vec:
-    """Vector form: k iid Normal(location, scale) latents sharing one
-    interpolation weight, as a single rank-1 VectorParameter leaf."""
-    location, scale = R.to_real(location), R.to_real(scale)
-    lam = R.to_real(lam)
-    bounds.check(scale, "σ >= 0", lambda v: v >= 0.0)
-    bounds.check(lam, "0 <= λ <= 1", lambda v: 0.0 <= v <= 1.0)
-    vp = R.vector_parameter(k, _vip_prior(location, scale, lam))
+def vip_latent_vec(location, scale, k: int, lam=0.0, family=None) -> Vec:
+    """Vector form: k iid location-scale latents sharing one interpolation
+    weight, as a single rank-1 VectorParameter leaf."""
+    family = _vip_family(family)
+    location, scale, lam = _vip_args(location, scale, lam)
+    vp = R.vector_parameter(k, _vip_prior(family, location, scale, lam))
     return Vec(element=location + scale.pow(R.one - lam) *
                (vp - lam * location), n=k)
 

@@ -116,3 +116,32 @@ def test_auto_vip_prefers_noncentered_on_funnel():
 def test_bad_lam_rejected():
     with pytest.raises(Exception):
         vip_latent(0.0, 1.0, 1.5)
+
+
+@pytest.mark.parametrize("family", ["Cauchy", "Laplace"])
+def test_vip_location_scale_families(family):
+    """VIP generalizes to any location-scale family: lam=0 coincides with
+    the family's default (non-centered) latent, lam=1 with its centered
+    density."""
+    fam = getattr(rt, family)
+    pts = [np.array([0.3]), np.array([-1.2]), np.array([2.0])]
+
+    x = vip_latent(1.5, 2.0, 0.0, family=fam)
+    got = _logp_on_grid(rt.Model.track_([x]), 1, pts)
+    y = fam(1.5, 2.0).latent()
+    want = _logp_on_grid(rt.Model.track_([y]), 1, pts)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    z = vip_latent(1.5, 2.0, 1.0, family=fam)
+    m = rt.Model.track_([z])
+    for q in [-1.0, 0.4, 3.0]:
+        lp = float(m.density().logp(jnp.asarray([q], dtype=jnp.float32)))
+        want_lp = float(Evaluator().value(
+            fam(1.5, 2.0).log_density_at(R.const(q))))
+        assert abs(lp - want_lp) < 1e-4 * max(1.0, abs(want_lp))
+        assert abs(float(Evaluator({m.parameters[0]: q}).value(z)) - q) < 1e-6
+
+
+def test_vip_rejects_non_location_scale():
+    with pytest.raises(TypeError):
+        vip_latent(0.0, 1.0, 0.5, family=rt.Gamma(2.0, 2.0))
