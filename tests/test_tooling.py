@@ -1,0 +1,62 @@
+"""Tooling smoke tests: viz plots/summaries (the reference's notebook
+module, rainier-notebook/.../package.scala) and program inspection (the
+reference's rainier-decompile + RealViz)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import rainier_tpu as rt
+from rainier_tpu import inspection as ins
+from rainier_tpu.compute import real as R
+
+
+@pytest.fixture(scope="module")
+def fitted():
+    rng = np.random.default_rng(0)
+    mu = rt.Normal(0, 5).latent()
+    sigma = rt.Exponential(1).latent()
+    model = rt.Model.observe(list(rng.normal(1.0, 0.5, 30)),
+                             rt.Normal(mu, sigma))
+    trace = model.sample(rt.SamplerConfig(200, 200), n_chains=2, seed=0)
+    return model, trace, mu, sigma
+
+
+def test_viz_plots_and_summaries(fitted):
+    mpl = pytest.importorskip("matplotlib")
+    mpl.use("Agg")
+    from rainier_tpu import viz
+
+    model, trace, mu, sigma = fitted
+    mus = trace.evaluate(mu)
+    sigmas = trace.evaluate(sigma)
+
+    viz.density(mus)
+    viz.scatter(mus, sigmas)
+    viz.contour(mus, sigmas)
+    viz.line(np.arange(10), np.arange(10.0))
+    viz.shade(np.arange(10), np.zeros(10), np.ones(10))
+    viz.whiskers({"mu": mus, "sigma": sigmas})
+    lo, hi = viz.hdpi(mus)
+    assert lo < float(np.mean(mus)) < hi
+    table = viz.precis({"mu": mus, "sigma": sigmas})
+    assert "mu" in table and "sigma" in table
+    ct = viz.coeftab({"m1": {"mu": mus}, "m2": {"mu": mus + 1}})
+    assert "m1" in ct and "m2" in ct
+    with tempfile.TemporaryDirectory() as d:
+        path = viz.show("t", os.path.join(d, "p.png"))
+        assert os.path.getsize(path) > 0
+
+
+def test_inspection_dumps(fitted):
+    model, trace, mu, sigma = fitted
+    jx = ins.jaxpr(model)
+    assert "add" in str(jx) or "mul" in str(jx)
+    hlo = ins.optimized_hlo(model)
+    assert "fusion" in hlo or "HloModule" in hlo
+    dot = ins.graphviz(mu + sigma)
+    assert dot.strip().startswith("digraph")
+    c = ins.cost(model)
+    assert c is not None
