@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import itertools
 import math
+from fractions import Fraction
 from typing import Callable, Optional, Sequence, Union
 
 import numpy as np
@@ -179,9 +180,20 @@ class Real:
 
 
 class Constant(Real):
-    __slots__ = ("value",)
+    """A literal constant, optionally carrying an exact rational value.
 
-    def __init__(self, value: float):
+    ``exact`` plays the role of the reference's ``FractionDecimal``
+    (compute/Decimal.scala:3-76): integer-valued constants and the results
+    of ring operations on exact constants keep an exact
+    :class:`fractions.Fraction`, so e.g. ``(Real(1)/10 + Real(2)/10) * 10``
+    folds to exactly 3 instead of 3.0000000000000004.  Transcendental folds
+    and non-integral float literals behave like ``DoubleDecimal``
+    (``exact is None``).
+    """
+
+    __slots__ = ("value", "exact")
+
+    def __init__(self, value: float, exact: Optional[Fraction] = None):
         super().__init__()
         v = float(value)
         if math.isnan(v):
@@ -189,6 +201,7 @@ class Constant(Real):
             # construction-time errors, never silent.
             raise ArithmeticError("cannot construct a NaN constant")
         self.value = v
+        self.exact = exact
 
 
 class Parameter(Real):
@@ -465,16 +478,65 @@ class VecSum(Real):
 # ---------------------------------------------------------------------------
 
 
-_CONST_CACHE: dict[float, Constant] = {}
+_CONST_CACHE: dict = {}
+
+# Exact rationals are abandoned once numerator/denominator exceed this many
+# bits — unbounded Fraction growth would make graph construction O(n^2).
+_EXACT_MAX_BITS = 256
 
 
-def const(value: float) -> Constant:
+def _exact_binary(op: str, a: Constant, b: Constant) -> Optional[Fraction]:
+    """Exact ring arithmetic on constants (compute/DecimalOps.scala).
+
+    Returns the exact Fraction result, or None when exactness cannot be
+    maintained (missing exact operand, division by zero — which has
+    limit-at-infinity float semantics, cf. ConstantOps.scala:80-113 —
+    non-integer exponents, or blow-up past _EXACT_MAX_BITS).
+    """
+    fa, fb = a.exact, b.exact
+    if fa is None or fb is None:
+        return None
+    if op == "add":
+        r = fa + fb
+    elif op == "sub":
+        r = fa - fb
+    elif op == "mul":
+        r = fa * fb
+    elif op == "div":
+        if fb == 0:
+            return None
+        r = fa / fb
+    elif op == "pow":
+        if fb.denominator != 1 or abs(fb.numerator) > 64:
+            return None
+        if fa == 0 and fb < 0:
+            return None
+        r = fa ** fb.numerator
+    else:  # min/max are exact picks of an operand
+        if op == "min":
+            return fa if fa <= fb else fb
+        if op == "max":
+            return fa if fa >= fb else fb
+        return None
+    if (abs(r.numerator).bit_length() > _EXACT_MAX_BITS
+            or r.denominator.bit_length() > _EXACT_MAX_BITS):
+        return None
+    return r
+
+
+def const(value: float, exact: Optional[Fraction] = None) -> Constant:
     v = float(value)
-    cached = _CONST_CACHE.get(v)
+    if exact is None and math.isfinite(v) and v.is_integer() \
+            and abs(v) < 2.0 ** 53:
+        # integer-valued literals are exact by construction
+        # (cf. Decimal.scala's whole-number fast path)
+        exact = Fraction(int(v))
+    key = (v, exact)
+    cached = _CONST_CACHE.get(key)
     if cached is None:
-        cached = Constant(v)
+        cached = Constant(v, exact)
         if len(_CONST_CACHE) < 4096:
-            _CONST_CACHE[v] = cached
+            _CONST_CACHE[key] = cached
     return cached
 
 
@@ -535,6 +597,9 @@ def unary(x: Real, op: str) -> Real:
 
 def binary(a: Real, b: Real, op: str) -> Real:
     if isinstance(a, Constant) and isinstance(b, Constant):
+        exact = _exact_binary(op, a, b)
+        if exact is not None:
+            return const(float(exact), exact)
         return const(_fold_binary(op, a.value, b.value))
     if op == "add":
         if isinstance(a, Constant) and a.value == 0.0:
@@ -582,16 +647,27 @@ def sum_(xs: Sequence[RealLike]) -> Real:
     if len(xs) == 1:
         return xs[0]
     cval = 0.0
+    cexact: Optional[Fraction] = Fraction(0)
     rest = []
     for x in xs:
         if isinstance(x, Constant):
             cval += x.value
+            if cexact is not None and x.exact is not None:
+                cexact = cexact + x.exact
+            else:
+                cexact = None
         else:
             rest.append(x)
+    if cexact is not None and (
+            abs(cexact.numerator).bit_length() > _EXACT_MAX_BITS
+            or cexact.denominator.bit_length() > _EXACT_MAX_BITS):
+        cexact = None
+    if cexact is not None:
+        cval = float(cexact)
     if not rest:
-        return const(cval)
+        return const(cval, cexact)
     if cval != 0.0:
-        rest.append(const(cval))
+        rest.append(const(cval, cexact))
     if len(rest) == 1:
         return rest[0]
     return NArySum(rest)
