@@ -96,6 +96,13 @@ class Generator:
         return Generator(fn, self.requirements)
 
     @staticmethod
+    def of(t) -> "Generator":
+        """`Generator(t)` constructor analogue: convert a Real /
+        Distribution / Vec / tuple / list / dict, recursively, via the
+        ToGenerator typeclass chain (core/Generator.scala:161-248)."""
+        return to_generator(t)
+
+    @staticmethod
     def constant(value) -> "Generator":
         return Generator(lambda k, e: value)
 

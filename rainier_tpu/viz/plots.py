@@ -69,6 +69,42 @@ def line(xs, ys, ax=None, **kw):
     return ax
 
 
+def lines(xs, ys_seq, ax=None, labels=None, **kw):
+    """Plot several series over the same x-axis (notebook `lines`,
+    rainier-notebook/.../package.scala:113-121 — there: a Double =>
+    Seq[Double] function sampled over bounds; here: precomputed series
+    or a callable applied to xs)."""
+    plt = _plt()
+    ax = ax or plt.gca()
+    xs = np.asarray(xs)
+    if callable(ys_seq):
+        ys_seq = np.stack([np.asarray(ys_seq(x)) for x in xs], axis=-1)
+    for i, ys in enumerate(np.atleast_2d(np.asarray(ys_seq))):
+        label = labels[i] if labels is not None else None
+        ax.plot(xs, ys, label=label, **kw)
+    if labels is not None:
+        ax.legend()
+    return ax
+
+
+def load_csv(path: str, delimiter: str = ","):
+    """Load a CSV with a header row into {column: list} — the notebook
+    `loadCSV` helper (rainier-notebook/.../package.scala:316-325).
+    Numeric columns become floats; everything else stays str."""
+    import csv
+
+    with open(path, newline="") as f:
+        rows = list(csv.DictReader(f, delimiter=delimiter))
+    out: dict = {}
+    for name in (rows[0].keys() if rows else []):
+        vals = [r[name] for r in rows]
+        try:
+            out[name] = [float(v) for v in vals]
+        except (TypeError, ValueError):
+            out[name] = vals
+    return out
+
+
 def shade(xs, lower, upper, ax=None, **kw):
     """Shaded interval band (notebook `shade`)."""
     plt = _plt()
