@@ -38,8 +38,10 @@ if _os.environ.get("RAINIER_TPU_NO_COMPILE_CACHE") != "1":
     enable_compilation_cache()
 
 from . import compute
-from .compute import (Real, Vec, const, parameter, vector_parameter, zero,
-                      one, pi, infinity, neg_infinity)
+from .compute import (Real, Vec, const, to_real, parameter,
+                      vector_parameter, sum_, log_sum_exp, eq, lt, gt, lte,
+                      gte, compare, lookup, zero, one, two, neg_one, pi,
+                      infinity, neg_infinity, Column, IntColumn, MatColumn)
 from . import config
 from . import core
 from .core import (Beta, Bernoulli, BetaBinomial, Binomial, Cauchy,

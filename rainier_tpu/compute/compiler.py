@@ -188,24 +188,23 @@ class CompiledDensity:
         return jax.value_and_grad(self.logp_fn())
 
     # -- convenience jitted entry points ---------------------------------
+    # column values are runtime arguments (never baked into the cached
+    # program), so data swapped via Column.swap_values / Model.with_data
+    # is visible to every subsequent call while the program cache survives
     def _jitted(self, kind):
         if kind not in self._jit_cache:
-            cols = self.column_values()
-            if kind == "logp":
-                f = self.logp_fn()
-                self._jit_cache[kind] = jax.jit(lambda q: f(q, cols))
-            else:
-                f = self.logp_and_grad_fn()
-                self._jit_cache[kind] = jax.jit(lambda q: f(q, cols))
+            f = self.logp_fn() if kind == "logp" \
+                else self.logp_and_grad_fn()
+            self._jit_cache[kind] = jax.jit(f)
         return self._jit_cache[kind]
 
     def logp(self, q) -> jax.Array:
         q = jnp.asarray(q, dtype=config.dtype())
-        return self._jitted("logp")(q)
+        return self._jitted("logp")(q, self.column_values())
 
     def logp_and_grad(self, q):
         q = jnp.asarray(q, dtype=config.dtype())
-        return self._jitted("grad")(q)
+        return self._jitted("grad")(q, self.column_values())
 
 
 def compile_outputs(parameters: Sequence[R.Real],
@@ -217,18 +216,22 @@ def compile_outputs(parameters: Sequence[R.Real],
     outs = [R.to_real(o) for o in outputs]
     columns = find_columns(outs)
     backend = interp.jax_backend()
-    col_vals = []
-    for c in columns:
-        if isinstance(c, R.IntColumn):
-            col_vals.append(jnp.asarray(c.values))
-        else:
-            col_vals.append(jnp.asarray(c.values, dtype=config.dtype()))
-    col_vals = tuple(col_vals)
+    dtype = config.dtype()
 
-    def fn(q):
+    def raw(q, col_vals):
         env = layout.env_for(q)
         for c, v in zip(columns, col_vals):
             env[c.id] = v
         return interp.evaluate(outs, env, backend, q.dtype)
 
-    return jax.jit(fn)
+    jitted = jax.jit(raw)
+
+    # column values are fetched per call (runtime args), so data swapped
+    # via Column.swap_values is visible without recompiling
+    def fn(q):
+        col_vals = tuple(
+            jnp.asarray(c.values) if isinstance(c, R.IntColumn)
+            else jnp.asarray(c.values, dtype=dtype) for c in columns)
+        return jitted(q, col_vals)
+
+    return fn

@@ -270,6 +270,20 @@ class Column(Real):
     def n_rows(self) -> int:
         return int(self.values.shape[0])
 
+    def swap_values(self, values) -> None:
+        """Re-condition on same-shape new data (Model.with_data): compiled
+        programs take column values as runtime arguments, so swapping data
+        reuses every cached program; only the interval-analysis cache is
+        reset.  Shape must match — a different number of rows is a
+        different program."""
+        v = np.asarray(values, dtype=np.float64)
+        if v.shape != self.values.shape:
+            raise ValueError(
+                f"swap_values shape {v.shape} != {self.values.shape}; "
+                "same-shape data only (new shapes need a new model)")
+        self.values = v
+        self._bounds = None
+
 
 class IntColumn(Real):
     """Integer per-observation data leaf, used as gather/lookup indices."""
@@ -285,6 +299,15 @@ class IntColumn(Real):
     @property
     def n_rows(self) -> int:
         return int(self.values.shape[0])
+
+    def swap_values(self, values) -> None:
+        """Same-shape data swap (see Column.swap_values)."""
+        v = np.asarray(values, dtype=np.int32)
+        if v.shape != self.values.shape:
+            raise ValueError(
+                f"swap_values shape {v.shape} != {self.values.shape}")
+        self.values = v
+        self._bounds = None
 
 
 class MatColumn(Real):
@@ -321,6 +344,19 @@ class MatColumn(Real):
             c.matrix_ref = (self, j)
             self._views[j] = c
         return self._views[j]
+
+    def swap_values(self, values) -> None:
+        """Same-shape data swap (see Column.swap_values); scalar Column
+        views stay in sync."""
+        v = np.asarray(values, dtype=np.float64)
+        if v.shape != self.values.shape:
+            raise ValueError(
+                f"swap_values shape {v.shape} != {self.values.shape}")
+        self.values = v
+        self._bounds = None
+        for j, c in self._views.items():
+            c.values = v[:, j]
+            c._bounds = None
 
 
 class MatVec(Real):
@@ -592,6 +628,14 @@ def unary(x: Real, op: str) -> Real:
             return x.child
         if op == "neg" and x.op == "neg":
             return x.child
+        # log∘logistic → −softplus(−x): same value, but finite (and with
+        # finite gradient) where logistic saturates to 0/1 in f32 — the
+        # GLM hot path's numerical safety valve (the reference leans on
+        # f64 + Bounds guard elision instead, compute/Bounds.scala)
+        if op == "log" and x.op == "logistic":
+            return Unary(Unary(Unary(x.child, "neg"), "softplus"), "neg")
+        if op == "logit" and x.op == "logistic":
+            return x.child
     return Unary(x, op)
 
 
@@ -809,6 +853,7 @@ def topological(roots: Sequence[Real]) -> list[Real]:
 zero = const(0.0)
 one = const(1.0)
 two = const(2.0)
+neg_one = const(-1.0)
 pi = const(math.pi)
 infinity = const(math.inf)
 neg_infinity = const(-math.inf)

@@ -59,6 +59,15 @@ class Bernoulli(Discrete):
         bounds.check(self.p, "0 <= p <= 1", lambda v: 0.0 <= v <= 1.0)
 
     def log_density_at(self, v):
+        # Bernoulli(logistic(x)) lowers to the logit parameterization:
+        # logP(1) = −softplus(−x), logP(0) = −softplus(x).  Saturation-
+        # proof where log(p)/log(1−p) overflow to −inf (with NaN grads)
+        # in f32 — the GLM hot path (BASELINE 100k logistic regression).
+        if isinstance(self.p, R.Unary) and self.p.op == "logistic":
+            x = self.p.child
+            return R.eq(R.to_real(v), R.zero,
+                        R.to_real(x).softplus() * -1,
+                        R.to_real(x * -1).softplus() * -1)
         return R.eq(R.to_real(v), R.zero, (1 - self.p).log(), self.p.log())
 
     def generator(self):

@@ -220,5 +220,14 @@ def to_generator(x) -> Generator:
     from ..compute.vec import Vec
 
     if isinstance(x, Vec):
-        return to_generator(x.to_list())
+        # a Vec is array-valued, so its generator yields a per-row array
+        # (stacking happens at trace time; heterogeneous element values
+        # — e.g. a Vec of tuples — fall back to the plain list)
+        def _stack(vals):
+            try:
+                return jnp.stack(vals)
+            except (TypeError, ValueError):
+                return vals
+
+        return to_generator(x.to_list()).map(_stack)
     raise TypeError(f"cannot convert {type(x)} to Generator")

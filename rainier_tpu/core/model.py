@@ -81,6 +81,23 @@ class Model:
                         for d, y in zip(dists, ys_list)]))
         raise TypeError(f"cannot observe under {type(lh)}")
 
+    def with_data(self, mapping) -> "Model":
+        """Re-condition this model on same-shape new data.
+
+        `mapping`: {Column|IntColumn|MatColumn: new values}.  The compiled
+        density and every cached sampler program are reused — column
+        values are runtime arguments of those programs, never baked in —
+        so repeated fits over fresh datasets (SBC repetitions,
+        cross-validation folds) cost zero recompilation.  Shapes must
+        match; a different number of rows is a different program (build a
+        new model for that).  Returns self for chaining."""
+        for col, values in mapping.items():
+            if not isinstance(col, (R.Column, R.IntColumn, R.MatColumn)):
+                raise TypeError(f"with_data keys must be data columns, "
+                                f"got {type(col)}")
+            col.swap_values(values)
+        return self
+
     def merge(self, other: "Model") -> "Model":
         return Model(self.likelihoods + other.likelihoods,
                      self.track | other.track)

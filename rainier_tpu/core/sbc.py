@@ -77,9 +77,9 @@ class SBC:
 
     def _fit_template(self, n: int) -> tuple:
         """One model graph per data length; repetitions swap the Column's
-        values in place so the compiled sampler program (cached on the
-        CompiledDensity) is reused across reps — the reference rebuilds
-        and re-compiles per repetition."""
+        values via Model.with_data so the compiled sampler program (cached
+        on the CompiledDensity) is reused across reps — the reference
+        rebuilds and re-compiles per repetition."""
         if not hasattr(self, "_templates"):
             self._templates = {}
         if n not in self._templates:
@@ -98,8 +98,9 @@ class SBC:
     def _sample_once(self, sampler_fn, n_synthetic, thin, key, seed):
         data, true_stat = self.synthesize(n_synthetic, key)
         model, stat, col = self._fit_template(n_synthetic)
-        col.values = np.asarray(data, dtype=np.float64)
-        col._bounds = None  # data changed; recompute interval on demand
+        # same-shape data swap through the sanctioned API: the compiled
+        # sampler program (cached on the CompiledDensity) is reused
+        model.with_data({col: data})
         cfg = sampler_fn(SAMPLES * thin // CHAINS)
         trace = model.sample(cfg, n_chains=CHAINS, seed=seed)
         trace = trace.thin(thin) if thin > 1 else trace

@@ -1,7 +1,9 @@
 """Fused HMC sampling loop as a Pallas TPU kernel.
 
 SURVEY.md §7 M4: "Pallas fused leapfrog (fuse momentum half-steps +
-position update + grad call to kill HBM round-trips for small n)".
+position update + grad call to kill HBM round-trips for small n)" plus
+the second half — per-observation data resident on-chip (the TPU
+replacement for the reference's row loop, ir/DataFunction.scala:48-84).
 
 The XLA scan path writes (q, p, grad) back to HBM after every fused scan
 step; for small-n models (funnel: 10 dims) the hot loop is therefore HBM-
@@ -15,21 +17,35 @@ of 128) and dim padded to the f32 sublane tile (8), so every elementwise
 op vectorizes across chains on the VPU and reductions over `dim` are
 cheap sublane reductions.
 
-The target log-density is a traceable ``lp_fn(q: (dim, C)) -> (C,)`` in
-jnp ops — it must not close over device arrays (pallas kernels reject
-captured constants; route data via standardization or future column
-inputs); its gradient is taken with jax.grad *inside* the kernel body
-(traced before Mosaic lowering) — any model expressible on a (dim, C)
-block works, no hand-written adjoint.  Mass-matrix preconditioning is
-applied by running in standardized coordinates (q' = q/√Σ̂ with the
-density reparameterized), so the kernel itself always integrates with
-identity mass — same trajectories, fewer in-kernel ops.
+Data columns: pass per-observation arrays via ``columns=(...)``; each is
+held VMEM-resident for the whole run (every grid block sees the full
+array) and forwarded to ``lp_fn(q_block, *columns)``.  A (100k, p)
+design matrix in f32 is p·400 KB — comfortably inside the ~16 MB/core
+VMEM budget — and X @ q_block is an (n,p)·(p,C) matmul the MXU eats
+natively.  For datasets beyond the VMEM budget use the XLA scan path
+(which shards columns over the mesh instead).
+
+RNG: ``host_rng=False`` (default) uses the on-core PRNG — zero HBM
+traffic, TPU only.  ``host_rng=True`` precomputes all momenta/uniforms
+with jax.random and streams them in as inputs: runs under
+``interpret=True`` on CPU (CI correctness tests) and compiled on TPU,
+with identical trajectories in both — the kernel's cross-backend oracle.
+
+The target log-density is a traceable ``lp_fn(q: (dim, C), *columns) ->
+(C,)`` in jnp ops — it must not close over device arrays (pallas kernels
+reject captured constants; data goes through `columns`); its gradient is
+taken with jax.grad *inside* the kernel body (traced before Mosaic
+lowering) — any model expressible on a (dim, C) block works, no
+hand-written adjoint.  Mass-matrix preconditioning is applied by running
+in standardized coordinates (q' = q/√Σ̂ with the density
+reparameterized), so the kernel itself always integrates with identity
+mass — same trajectories, fewer in-kernel ops.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Callable
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +53,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TWO_PI = 2.0 * math.pi
+
+# leave headroom below the ~16 MB/core VMEM for state + compiler scratch
+VMEM_COLUMN_BUDGET = 8 * 1024 * 1024
 
 
 def _uniform_from_bits(bits):
@@ -64,7 +83,8 @@ def _round_up(x: int, m: int) -> int:
 def fused_hmc(lp_fn: Callable, q0, *, step_size: float, n_steps: int,
               n_iterations: int, seed: int, inv_mass_diag=None,
               collect_every: int = 0, block_chains: int = 512,
-              interpret: bool = False):
+              interpret: bool = False, columns: Sequence = (),
+              host_rng: bool = False):
     """HMC with `n_steps` leapfrog steps × `n_iterations`, state resident
     in VMEM.
 
@@ -72,16 +92,28 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size: float, n_steps: int,
     inv_mass_diag: (dim,) Σ̂ diagonal (as adapted by the driver) or None.
     collect_every: 0 → return only final q; k → also stream every k-th
     draw to HBM.
+    columns: data arrays forwarded to lp_fn, VMEM-resident for the run.
+    host_rng: precompute noise with jax.random (CPU-interpretable oracle)
+    instead of the on-core PRNG.
 
     Returns (final_q (dim, n_chains),
              samples (n_out, dim, n_chains) or None,
-             accept_rate (n_chains,)).
+             accept_rate (n_chains,),
+             divergences (n_chains,)).
     """
     dim, n_chains = q0.shape
     assert n_chains % block_chains == 0, (n_chains, block_chains)
     grid = n_chains // block_chains
     dim_pad = _round_up(dim, 8)
     eps = float(step_size)  # python literal: folded into the kernel
+
+    columns = tuple(jnp.asarray(c, jnp.float32) for c in columns)
+    col_bytes = sum(4 * c.size for c in columns)
+    if col_bytes > VMEM_COLUMN_BUDGET:
+        raise ValueError(
+            f"columns need {col_bytes / 2**20:.1f} MiB of VMEM "
+            f"(budget {VMEM_COLUMN_BUDGET / 2**20:.0f} MiB); use the XLA "
+            "scan path with mesh-sharded columns for datasets this large")
 
     q0 = jnp.asarray(q0, jnp.float32)
     if inv_mass_diag is not None:
@@ -98,19 +130,41 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size: float, n_steps: int,
 
     qp0 = jnp.zeros((dim_pad, n_chains), jnp.float32).at[:dim].set(q0)
     n_out = (n_iterations // collect_every) if collect_every else 0
+    n_cols = len(columns)
 
-    def kernel(seed_ref, q_ref, scale_ref, qout_ref, acc_ref, *rest):
+    noise_inputs = ()
+    if host_rng:
+        kp, ku = jax.random.split(jax.random.PRNGKey(seed))
+        p_noise = jax.random.normal(
+            kp, (n_iterations, dim_pad, n_chains), jnp.float32)
+        # zero momentum on padded dims: they must stay exactly 0
+        if dim_pad != dim:
+            p_noise = p_noise.at[:, dim:, :].set(0.0)
+        u_noise = jax.random.uniform(
+            ku, (n_iterations, 1, n_chains), jnp.float32,
+            minval=1.1920929e-7, maxval=1.0)
+        noise_inputs = (p_noise, u_noise)
+
+    def kernel(seed_ref, q_ref, scale_ref, *rest):
+        col_refs = rest[:n_cols]
+        rest = rest[n_cols:]
+        if host_rng:
+            p_ref, u_ref = rest[:2]
+            rest = rest[2:]
+        qout_ref, acc_ref, div_ref = rest[:3]
         if collect_every:
-            samples_hbm, scratch, sem = rest
+            samples_hbm, scratch, sem = rest[3:]
         block = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + block * 7919)
+        if not host_rng:
+            pltpu.prng_seed(seed_ref[0] + block * 7919)
         sc = scale_ref[:, 0:1]  # (dim_pad, 1)
+        cols = tuple(r[...] for r in col_refs)
 
         def lp_pad(qp):
             # keep per-chain scalars rank-2 (1, C): Mosaic dislikes 1-D
             # full (8, C) sublane tile: Mosaic mishandles (1, C) loop
             # carries ("sublane broadcast" not implemented)
-            lp1 = lp_fn((qp * sc)[:dim]).reshape(1, block_chains)
+            lp1 = lp_fn((qp * sc)[:dim], *cols).reshape(1, block_chains)
             return jnp.broadcast_to(lp1, (8, block_chains))
 
         def grad_pad(qp):
@@ -122,8 +176,11 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size: float, n_steps: int,
         grad = grad_pad(q)
 
         def iteration(it, carry):
-            q, lp, grad, acc = carry
-            p0 = _normals((dim_pad, block_chains))
+            q, lp, grad, acc, div = carry
+            if host_rng:
+                p0 = p_ref[it]
+            else:
+                p0 = _normals((dim_pad, block_chains))
             k0 = jnp.sum(p0 * p0, axis=0, keepdims=True)
             h0 = -lp + 0.5 * jnp.broadcast_to(k0, (8, block_chains))
 
@@ -147,14 +204,18 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size: float, n_steps: int,
             h1 = -lpn + 0.5 * jnp.broadcast_to(k1, (8, block_chains))
             la = jnp.minimum(-(h1 - h0), 0.0)
             la = jnp.where(jnp.isnan(la), -jnp.inf, la)   # (8, C)
-            u = _rand_uniform((8, block_chains))
-            u = jnp.broadcast_to(u[0:1], (8, block_chains))
+            if host_rng:
+                u = jnp.broadcast_to(u_ref[it], (8, block_chains))
+            else:
+                u = _rand_uniform((8, block_chains))
+                u = jnp.broadcast_to(u[0:1], (8, block_chains))
             take = jnp.log(u) < la                         # (8, C)
             takeq = jnp.broadcast_to(take[0:1], (dim_pad, block_chains))
             q = jnp.where(takeq, qn, q)
             lp = jnp.where(take, lpn, lp)
             grad = jnp.where(takeq, gn, grad)
             acc = acc + jnp.exp(la)
+            div = div + jnp.where(jnp.isinf(la), 1.0, 0.0)
 
             if collect_every:
                 @pl.when(it % collect_every == collect_every - 1)
@@ -170,20 +231,24 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size: float, n_steps: int,
                     dma.start()
                     dma.wait()
 
-            return q, lp, grad, acc
+            return q, lp, grad, acc, div
 
-        acc0 = jnp.zeros((8, block_chains), jnp.float32)
-        q, lp, grad, acc = jax.lax.fori_loop(
-            0, n_iterations, iteration, (q, lp, grad, acc0))
+        zeros = jnp.zeros((8, block_chains), jnp.float32)
+        q, lp, grad, acc, div = jax.lax.fori_loop(
+            0, n_iterations, iteration, (q, lp, grad, zeros, zeros))
         qout_ref[:, :] = q
         acc_ref[:, :] = acc[0:1] / n_iterations
+        div_ref[:, :] = div[0:1]
 
     out_shape = [
         jax.ShapeDtypeStruct((dim_pad, n_chains), jnp.float32),
         jax.ShapeDtypeStruct((1, n_chains), jnp.float32),
+        jax.ShapeDtypeStruct((1, n_chains), jnp.float32),
     ]
     out_specs = [
         pl.BlockSpec((dim_pad, block_chains), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_chains), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, block_chains), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
@@ -200,27 +265,43 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size: float, n_steps: int,
             pltpu.SemaphoreType.DMA(()),
         ]
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((dim_pad, block_chains), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((dim_pad, 128), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for c in columns:
+        # full array, every block sees all rows (index_map pins block 0)
+        in_specs.append(pl.BlockSpec(
+            c.shape, (lambda *_: (0,) * len(c.shape)),
+            memory_space=pltpu.VMEM))
+    if host_rng:
+        in_specs.append(pl.BlockSpec(
+            (n_iterations, dim_pad, block_chains), lambda i: (0, 0, i),
+            memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(
+            (n_iterations, 1, block_chains), lambda i: (0, 0, i),
+            memory_space=pltpu.VMEM))
+
     results = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((dim_pad, block_chains), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((dim_pad, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32), qp0, scale_pad)
+    )(jnp.asarray([seed], jnp.int32), qp0, scale_pad, *columns,
+      *noise_inputs)
 
     qf = results[0][:dim]
     acc = results[1][0]
-    samples = results[2][:, :dim] if collect_every else None
+    div = results[2][0]
+    samples = results[3][:, :dim] if collect_every else None
     if scale is not None:
         qf = qf * scale[:, None]
         if samples is not None:
             samples = samples * scale[None, :, None]
-    return qf, samples, acc
+    return qf, samples, acc, div

@@ -189,9 +189,16 @@ def minimize(fg: Callable, x0, m: int = 5, max_iters: int = 500,
 
 
 def lbfgs_map(model, t=None, seed: int = 0, m: int = 5,
-              max_iters: int = 500, grad_tol: float = 1e-5):
+              max_iters: int = 500, grad_tol: float = 1e-5,
+              n_starts: int = 1, init_scale: float = 1.0):
     """MAP estimate (Model.optimize, core/Model.scala:26-30): maximize the
-    joint density with L-BFGS, then evaluate `t` at the optimum."""
+    joint density with L-BFGS, then evaluate `t` at the optimum.
+
+    `n_starts > 1` runs a vmapped multi-start: the first start is the
+    origin (reproducing the single-start result on unimodal densities),
+    the rest are overdispersed x0 ~ N(0, init_scale²·I) — the same
+    initialization convention the sampler driver and SMC use — and the
+    start with the best objective wins."""
     from .. import config as global_config
     from ..core.generator import Env, to_generator
 
@@ -204,9 +211,16 @@ def lbfgs_map(model, t=None, seed: int = 0, m: int = 5,
         lp, g = lpg(x, cols)
         return -lp, -g
 
-    x0 = jnp.zeros((cd.n_vars,), dtype)
-    st = jax.jit(lambda x: minimize(fg, x, m=m, max_iters=max_iters,
-                                    grad_tol=grad_tol))(x0)
+    x0 = jnp.zeros((max(n_starts, 1), cd.n_vars), dtype)
+    if n_starts > 1:
+        rand = init_scale * jax.random.normal(
+            jax.random.PRNGKey(seed), (n_starts - 1, cd.n_vars), dtype)
+        x0 = x0.at[1:].set(rand)
+    sts = jax.jit(jax.vmap(
+        lambda x: minimize(fg, x, m=m, max_iters=max_iters,
+                           grad_tol=grad_tol)))(x0)
+    best = jnp.argmin(sts.f)
+    st = jax.tree.map(lambda a: a[best], sts)
     if t is None:
         return st.x
     gen = to_generator(t)

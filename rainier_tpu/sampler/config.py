@@ -95,6 +95,13 @@ class SamplerConfig:
     # 'pooled' shares adaptation statistics across all chains — the
     # cross-chain mode enabled by running chains as a device-sharded batch
     pooled_adaptation: bool = False
+    # per-chain initial positions are drawn q0 ~ N(0, init_scale²·I)
+    # (the reference fills the q slots with rng.standardNormal,
+    # LeapFrog.scala:102-110); overdispersed starts are what make
+    # split-chain r̂ able to detect non-convergence.  0.0 starts every
+    # chain at the origin (NOT recommended: chains then differ only
+    # through momentum RNG and multimodal posteriors silently "converge")
+    init_scale: float = 1.0
 
 
 def hmc(warmup: int, it: int, n_steps: int) -> SamplerConfig:
@@ -105,9 +112,10 @@ def hmc(warmup: int, it: int, n_steps: int) -> SamplerConfig:
 
 def ehmc(warmup: int, it: int, min_steps: int = 1,
          num_lengths: int = 100) -> SamplerConfig:
-    """EHMC(warmIt, it, ...) constructor (EHMC.scala:64-74)."""
+    """EHMC(warmIt, it, ...) constructor (EHMC.scala:64-74; default
+    l0 = 1024 per DefaultConfig's EHMCSampler(1024))."""
     return SamplerConfig(warmup_iterations=warmup, iterations=it,
-                         sampler=EHMC(1000, min_steps, num_lengths, 0.1))
+                         sampler=EHMC(1024, min_steps, num_lengths, 0.1))
 
 
 def nuts(warmup: int = 1000, it: int = 1000,

@@ -124,8 +124,29 @@ def build_warmup_fn(lpg, n_vars: int, cfg: C.SamplerConfig, dtype,
             jax.lax.pmean(jnp.exp(la), CHAIN_AXIS), 1e-30))
 
     def warmup_fn(key) -> WarmupProduct:
-        q0 = jnp.zeros((n_vars,), dtype=dtype)
-        lp0, g0 = lpg(q0)
+        # overdispersed per-chain starts: q0 ~ N(0, init_scale²·I),
+        # matching the reference (LeapFrog.scala:102-110 fills the q slots
+        # with rng.standardNormal before warmup).  A draw landing where
+        # logp or its gradient is non-finite (saturated likelihood tail)
+        # is redrawn, bounded at 100 attempts — Stan's init-retry policy
+        def draw(c):
+            key, _, _, _, i = c
+            key, k_q = jax.random.split(key)
+            q = cfg.init_scale * jax.random.normal(k_q, (n_vars,),
+                                                   dtype=dtype)
+            lp, g = lpg(q)
+            return key, q, lp, g, i + 1
+
+        def bad(c):
+            _, _, lp, g, i = c
+            nonfinite = ~jnp.isfinite(lp) | ~jnp.all(jnp.isfinite(g))
+            return nonfinite & (i < 100)
+
+        key, q0, lp0, g0, _ = jax.lax.while_loop(
+            bad, draw, draw((key, jnp.zeros((n_vars,), dtype),
+                             jnp.zeros((), dtype),
+                             jnp.zeros((n_vars,), dtype),
+                             jnp.zeros((), jnp.int32))))
         chain0 = ChainState(q=q0, potential=-lp0, grad=g0)
         mass0 = _initial_mass(cfg.mass_matrix, n_vars, dtype)
 

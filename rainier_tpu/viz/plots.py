@@ -73,16 +73,33 @@ def lines(xs, ys_seq, ax=None, labels=None, **kw):
     """Plot several series over the same x-axis (notebook `lines`,
     rainier-notebook/.../package.scala:113-121 — there: a Double =>
     Seq[Double] function sampled over bounds; here: precomputed series
-    or a callable applied to xs)."""
+    or a callable applied to xs).
+
+    `ys_seq` is *series-major*: a list of per-series sequences (each of
+    len(xs)), a (n_series, n_points) array, or a callable x -> sequence
+    of per-series values.  Ragged series are allowed (each is plotted
+    against its own prefix of xs).  `labels` may be shorter than the
+    number of series; unlabeled series get no legend entry."""
     plt = _plt()
     ax = ax or plt.gca()
     xs = np.asarray(xs)
     if callable(ys_seq):
         ys_seq = np.stack([np.asarray(ys_seq(x)) for x in xs], axis=-1)
-    for i, ys in enumerate(np.atleast_2d(np.asarray(ys_seq))):
-        label = labels[i] if labels is not None else None
-        ax.plot(xs, ys, label=label, **kw)
-    if labels is not None:
+    if isinstance(ys_seq, np.ndarray):
+        series = [ys_seq] if ys_seq.ndim == 1 else list(ys_seq)
+    else:
+        # iterate, not np.asarray on the whole input: a ragged list of
+        # series must not raise, and orientation stays series-major
+        rows = list(ys_seq)
+        if rows and np.ndim(rows[0]) == 0:  # flat list = one series
+            series = [np.asarray(rows)]
+        else:
+            series = [np.asarray(ys) for ys in rows]
+    for i, ys in enumerate(series):
+        label = labels[i] if labels is not None and i < len(labels) \
+            else None
+        ax.plot(xs[:len(ys)], ys, label=label, **kw)
+    if labels:
         ax.legend()
     return ax
 

@@ -186,6 +186,39 @@ def test_optimize_map():
     assert abs(float(mu_hat) - data.mean()) < 0.05
 
 
+def bimodal_density():
+    """0.5·N(0, 0.5²) + 0.5·N(12, 0.5²): modes 24 sd apart — HMC cannot
+    cross the barrier, so convergence can only be *detected* if chains
+    start overdispersed enough to land in both basins."""
+    def logp(q):
+        x = q[0]
+        a = -0.5 * (x / 0.5) ** 2
+        b = -0.5 * ((x - 12.0) / 0.5) ** 2
+        return jax.scipy.special.logsumexp(jnp.stack([a, b])) + jnp.log(0.5)
+
+    return jax.value_and_grad(logp)
+
+
+def _bimodal_rhat(init_scale, seed=7):
+    cfg = SamplerConfig(warmup_iterations=400, iterations=400,
+                        sampler=HMC(8), init_scale=init_scale)
+    res = run_raw(bimodal_density(), 1, cfg, n_chains=8, seed=seed)
+    from rainier_tpu.core.trace import _diagnostics_all
+
+    r_hat, _ = _diagnostics_all(np.asarray(res.samples))  # (m, n, 1)
+    return float(r_hat[0])
+
+
+def test_bimodal_rhat_detects_nonconvergence():
+    """The round-1 bug: every chain started at q=0, so chains could not
+    disagree about which mode they found and r̂ was anti-conservative
+    (the reference draws q0 ~ N(0,1) per chain, LeapFrog.scala:102-110).
+    Overdispersed inits must flag the bimodal posterior; origin starts
+    (init_scale=0, the old behavior) silently 'converge' in one mode."""
+    assert _bimodal_rhat(init_scale=12.0) > 1.1
+    assert _bimodal_rhat(init_scale=0.0) < 1.05
+
+
 def test_divergence_counting():
     # an impossible geometry at huge step size must register divergences
     def lpg(q):

@@ -60,3 +60,50 @@ def test_inspection_dumps(fitted):
     assert dot.strip().startswith("digraph")
     c = ins.cost(model)
     assert c is not None
+
+
+def test_lines_series_major_ragged_and_short_labels():
+    """ADVICE round 1: lines() must accept a (n_series, n_points) array,
+    a ragged list of series, a flat single series, and labels shorter
+    than the series count."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from rainier_tpu import viz
+
+    xs = np.arange(5.0)
+    fig, ax = plt.subplots()
+    viz.lines(xs, np.stack([xs, xs * 2]), ax=ax)          # series-major 2D
+    viz.lines(xs, [xs.tolist(), (xs * 2)[:3].tolist()],
+              ax=ax, labels=["a"])                         # ragged + short
+    viz.lines(xs, xs.tolist(), ax=ax)                      # flat = 1 series
+    viz.lines(xs, lambda x: [x, x * 2], ax=ax)             # callable
+    assert len(ax.lines) == 7
+    plt.close(fig)
+
+
+def test_top_level_reexports():
+    """ADVICE round 1: docs/real.md names must exist on rainier_tpu."""
+    import rainier_tpu as rt
+
+    for name in ["eq", "lt", "gt", "lte", "gte", "compare", "sum_",
+                 "log_sum_exp", "lookup", "two", "neg_one", "to_real",
+                 "Column", "IntColumn", "MatColumn"]:
+        assert hasattr(rt, name), name
+    assert float(rt.neg_one.value) == -1.0
+
+
+def test_vec_generator_yields_array():
+    """ADVICE round 1: Generator.of(Vec) yields a stacked per-row array."""
+    import jax
+
+    import rainier_tpu as rt
+    from rainier_tpu.core.generator import empty_env, to_generator
+
+    v = rt.Vec.from_([1.0, 2.0, 3.0]).map(lambda x: x * 2)
+    g = to_generator(v)
+    out = g.get(jax.random.PRNGKey(0), empty_env())
+    assert hasattr(out, "shape") and out.shape == (3,)
+    assert np.allclose(np.asarray(out), [2.0, 4.0, 6.0])
