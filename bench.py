@@ -105,6 +105,77 @@ def bench_pallas_fused():
     return _time_runs(run, args)
 
 
+DATA_N, DATA_P = 4096, 8
+DATA_CHAINS = int(os.environ.get("BENCH_DATA_CHAINS", 4096))
+
+
+def _logistic_data():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(DATA_N, DATA_P)).astype(np.float32)
+    b = rng.normal(size=DATA_P).astype(np.float32)
+    y = (rng.uniform(size=DATA_N) <
+         1 / (1 + np.exp(-(x @ b)))).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def bench_data_xla():
+    """Data-conditioned hot loop on the XLA scan path (the program the
+    reference's DataFunction row loop corresponds to)."""
+    from rainier_tpu.sampler import identity_mass
+    from rainier_tpu.sampler.leapfrog import ChainState, hmc_transition
+
+    X, Y = _logistic_data()
+    mass = identity_mass()
+    eps = jnp.asarray(0.02, jnp.float32)
+
+    def lp1(q):
+        lin = X @ q
+        return jnp.sum(Y * lin - jax.nn.softplus(lin)) \
+            - 0.5 * jnp.dot(q, q) / 25.0
+
+    lpg = jax.value_and_grad(lp1)
+
+    def chain_run(key, q0):
+        lp, g = lpg(q0)
+        state = ChainState(q=q0, potential=-lp, grad=g)
+
+        def step(carry, _):
+            key, state = carry
+            key, k = jax.random.split(key)
+            res = hmc_transition(k, state, eps, N_STEPS, mass, lpg)
+            return (key, res.state), res.log_accept
+
+        (_, state), _ = jax.lax.scan(step, (key, state), None,
+                                     length=N_ITERS)
+        return state.q
+
+    run = jax.jit(lambda keys, q0: jnp.sum(jax.vmap(chain_run)(keys, q0)))
+    args = [(jax.random.split(jax.random.PRNGKey(i), DATA_CHAINS),
+             jnp.zeros((DATA_CHAINS, DATA_P), jnp.float32))
+            for i in range(3)]
+    return _time_runs(run, args)
+
+
+def bench_data_pallas():
+    """Same likelihood with the design matrix VMEM-resident inside the
+    fused kernel (SURVEY §7 M4 second half)."""
+    from rainier_tpu.ops import fused_hmc
+
+    X, Y = _logistic_data()
+
+    def lp2(q, Xc, yc):  # (p, C) block
+        lin = Xc @ q
+        ll = yc[:, None] * lin - jax.nn.softplus(lin)
+        return jnp.sum(ll, axis=0) - 0.5 * jnp.sum(q * q, axis=0) / 25.0
+
+    run = jax.jit(lambda q0: jnp.sum(fused_hmc(
+        lp2, q0, step_size=0.02, n_steps=N_STEPS, n_iterations=N_ITERS,
+        seed=0, collect_every=0, block_chains=512, columns=(X, Y))[0]))
+    args = [(jnp.zeros((DATA_P, DATA_CHAINS), jnp.float32) + 0.01 * i,)
+            for i in range(3)]
+    return _time_runs(run, args)
+
+
 def main():
     grad_evals = N_CHAINS * N_ITERS * N_STEPS
     dt_xla = bench_xla_scan()
@@ -127,6 +198,20 @@ def main():
     print(f"# kernel {kernel}: xla {grad_evals/dt_xla/1e9:.2f}B/s, "
           f"pallas {grad_evals/dt_pallas/1e9:.2f}B/s; "
           f"device {jax.devices()[0]}", file=sys.stderr)
+    # data-conditioned secondary benchmark (logistic n=4096 p=8): the
+    # fused kernel with VMEM-resident columns vs the XLA scan
+    if os.environ.get("BENCH_SKIP_DATA") != "1":
+        dge = DATA_CHAINS * N_ITERS * N_STEPS
+        try:
+            ddt_xla = bench_data_xla()
+            ddt_pal = bench_data_pallas()
+            print(f"# data-model (logistic {DATA_N}x{DATA_P}, "
+                  f"{DATA_CHAINS} chains): "
+                  f"xla {dge/ddt_xla/1e6:.0f}M grad-evals/s, "
+                  f"pallas {dge/ddt_pal/1e6:.0f}M grad-evals/s "
+                  f"({ddt_xla/ddt_pal:.2f}x)", file=sys.stderr)
+        except Exception as e:
+            print(f"# data-model bench failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

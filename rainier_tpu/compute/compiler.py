@@ -187,6 +187,39 @@ class CompiledDensity:
         """(q, cols) -> (logp, grad) — the hot function HMC calls."""
         return jax.value_and_grad(self.logp_fn())
 
+    def logp_lanes_fn(self) -> Callable:
+        """(qb (n_vars, C), cols) -> (C,) — whole-chain-block batched
+        density in the Pallas kernel's chains-on-lanes layout (see
+        interp.evaluate_lanes).  No vmap: every intermediate is rank ≤ 2
+        with the chain axis on lanes, so Mosaic lowering needs no
+        transposes and MatVec hits the MXU as (n,p)@(p,C)."""
+        likelihoods = self.likelihoods
+        prior = self._prior
+        layout = self.layout
+        columns = self.columns
+
+        def logp(qb, cols):
+            backend = interp.jax_backend()
+            env = {}
+            for p, (a, b) in zip(layout.parameters, layout.slices):
+                env[p.id] = qb[a:b]                      # (size, C)
+            for c, v in zip(columns, cols):
+                if isinstance(c, (R.IntColumn, R.MatColumn)):
+                    env[c.id] = v
+                else:
+                    env[c.id] = v.reshape(-1, 1)         # (n, 1)
+            roots = likelihoods + [prior]
+            vals = interp.evaluate_lanes(roots, env, backend, qb.dtype)
+            C = qb.shape[1]
+            total = jnp.zeros((1, C), qb.dtype)
+            for v in vals:
+                if jnp.ndim(v) == 2 and v.shape[0] > 1:
+                    v = jnp.sum(v, axis=0, keepdims=True)
+                total = total + v
+            return total.reshape(C)
+
+        return logp
+
     # -- convenience jitted entry points ---------------------------------
     # column values are runtime arguments (never baked into the cached
     # program), so data swapped via Column.swap_values / Model.with_data

@@ -289,3 +289,102 @@ def evaluate(roots, env: Mapping[int, object], backend, dtype):
             else:
                 raise TypeError(f"unknown node {type(node)}")
     return [memo[r.id] for r in roots]
+
+
+def evaluate_lanes(roots, env: Mapping[int, object], backend, dtype):
+    """Batched chains-on-lanes evaluation for the Pallas fused-HMC kernel.
+
+    Same DAG, evaluated for a whole chain block at once with the chain
+    axis LAST (on TPU vector lanes) and the observation axis first (on
+    sublanes) — the kernel's native layout.  Shape conventions, enforced
+    by the caller's env bindings:
+
+    * scalar-valued node         → ()  or (1, C)
+    * Parameter                  → (1, C)
+    * VectorParameter (k slots)  → (k, C)
+    * Column                     → (n, 1)   (data broadcasts over lanes)
+    * IntColumn                  → (n,) int (gather indices)
+    * MatColumn                  → (n, p)
+    * column-shaped intermediate → (n, C)
+
+    Everything is rank ≤ 2 and layout-aligned, so Mosaic lowering never
+    needs a transpose (jax.vmap over either q axis inserts bool
+    transposes and batched dot_generals it cannot legalize);
+    `MatVec` is a direct (n,p)@(p,C) MXU matmul — the chain-batched
+    systolic-array shape the design doc calls for.  Lookup lowers to a
+    masked sum over table entries (branch-free, differentiable) rather
+    than a dynamic gather.
+    """
+    xp = backend.np
+    memo: dict[int, object] = dict(env)
+    for node in R.topological(list(roots)):
+        nid = node.id
+        if nid in memo:
+            continue
+        if isinstance(node, R.Constant):
+            memo[nid] = backend.asarray(node.value, dtype)
+        elif isinstance(node, (R.Column, R.IntColumn, R.MatColumn)):
+            raise KeyError(f"no value bound for column {node!r}")
+        elif isinstance(node, (R.Parameter, R.VectorParameter)):
+            raise KeyError(f"no value bound for parameter {node!r}")
+        elif isinstance(node, R.MatVec):
+            memo[nid] = xp.matmul(memo[node.mat.id], memo[node.vec.id],
+                                  preferred_element_type=xp.float32)
+        elif isinstance(node, R.Unary):
+            memo[nid] = _unary_val(backend, node.op, memo[node.child.id])
+        elif isinstance(node, R.Binary):
+            memo[nid] = _binary_val(backend, node.op, memo[node.left.id],
+                                    memo[node.right.id])
+        elif isinstance(node, R.NArySum):
+            acc = memo[node.children[0].id]
+            for c in node.children[1:]:
+                acc = acc + memo[c.id]
+            memo[nid] = acc
+        elif isinstance(node, R.LogSumExp):
+            # pairwise max + shifted exp sum: no rank-3 stack in-kernel
+            vals = [memo[c.id] for c in node.children]
+            m = vals[0]
+            for v in vals[1:]:
+                m = xp.maximum(m, v)
+            s = xp.exp(vals[0] - m)
+            for v in vals[1:]:
+                s = s + xp.exp(v - m)
+            memo[nid] = m + xp.log(s)
+        elif isinstance(node, R.Select):
+            cond = _pred_val(backend, node.pred, memo[node.left.id],
+                             memo[node.right.id])
+            memo[nid] = backend.where(cond, memo[node.if_true.id],
+                                      memo[node.if_false.id])
+        elif isinstance(node, R.Compare):
+            memo[nid] = xp.sign(memo[node.left.id] - memo[node.right.id])
+        elif isinstance(node, R.Lookup):
+            idx = memo[node.index.id]
+            if not hasattr(idx, "ndim") or xp.ndim(idx) == 0:
+                idx = xp.asarray(idx)
+            if idx.dtype.kind == "f":
+                idx = idx.astype(xp.int32)
+            idx = idx - node.low
+            if idx.ndim == 1:            # IntColumn index → (n, 1)
+                idx = idx.reshape(-1, 1)
+            acc = None
+            for k, t in enumerate(node.table):
+                term = xp.where(idx == k, memo[t.id], 0.0)
+                acc = term if acc is None else acc + term
+            memo[nid] = acc
+        elif isinstance(node, R.Gather):
+            src = memo[node.source.id]    # (k, C)
+            idx = memo[node.index.id]
+            idx = xp.asarray(idx).astype(xp.int32)
+            memo[nid] = xp.take(src, idx, axis=0, mode="clip")  # (n, C)
+        elif isinstance(node, (R.RowSum, R.VecSum)):
+            v = memo[node.child.id]
+            count = node.n_rows if isinstance(node, R.RowSum) else node.k
+            if xp.ndim(v) == 0:
+                memo[nid] = v * count
+            elif v.shape[0] == 1:
+                memo[nid] = v * count
+            else:
+                memo[nid] = xp.sum(v, axis=0, keepdims=True)
+        else:
+            raise TypeError(f"unknown node {type(node)}")
+    return [memo[r.id] for r in roots]

@@ -54,8 +54,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 TWO_PI = 2.0 * math.pi
 
-# leave headroom below the ~16 MB/core VMEM for state + compiler scratch
-VMEM_COLUMN_BUDGET = 8 * 1024 * 1024
+# v5e/v5p cores carry 128 MiB of physical VMEM but Mosaic's default
+# scoped limit is 16 MiB; we raise the kernel's limit and keep the column
+# budget below it so state + activations + compiler scratch still fit
+VMEM_LIMIT = 100 * 1024 * 1024
+VMEM_COLUMN_BUDGET = 48 * 1024 * 1024
 
 
 def _uniform_from_bits(bits):
@@ -275,7 +278,7 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size: float, n_steps: int,
     for c in columns:
         # full array, every block sees all rows (index_map pins block 0)
         in_specs.append(pl.BlockSpec(
-            c.shape, (lambda *_: (0,) * len(c.shape)),
+            c.shape, (lambda *_, nd=c.ndim: (0,) * nd),
             memory_space=pltpu.VMEM))
     if host_rng:
         in_specs.append(pl.BlockSpec(
@@ -293,6 +296,8 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size: float, n_steps: int,
         out_shape=tuple(out_shape),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
     )(jnp.asarray([seed], jnp.int32), qp0, scale_pad, *columns,
       *noise_inputs)
 

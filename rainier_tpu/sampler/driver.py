@@ -271,16 +271,29 @@ def _chain_sharding(mesh):
 
 
 def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
-           collect_idx=None, dtype=None, mesh=None, progress=None):
+           collect_idx=None, dtype=None, mesh=None, progress=None,
+           kernel: str = "scan"):
     """Run inference on `model`; returns a Trace.
 
     `mesh`: a jax.sharding.Mesh with a 'chains' axis shards the chain
     batch across devices (and Columns across a 'data' axis if present).
     `progress`: a sampler.progress.Progress — switches sampling to chunked
     execution with refreshes between chunks.
+    `kernel`: 'scan' (default, XLA) or 'pallas' — scan-path warmup
+    produces the adaptation product, then the whole sampling phase runs
+    VMEM-resident in one fused Pallas kernel (ops/hmc_pallas.py).
     """
     from ..core.trace import Trace
 
+    if kernel == "pallas":
+        if mesh is not None:
+            raise ValueError("kernel='pallas' is single-chip; drop mesh "
+                             "(multi-chip runs use the scan path)")
+        return _pallas_sample(model, cfg, n_chains, seed, collect_idx,
+                              progress)
+    if kernel != "scan":
+        raise ValueError(f"unknown kernel {kernel!r} "
+                         "(expected 'scan' or 'pallas')")
     dtype = dtype or global_config.dtype()
     cd = model.density()
     cols = cd.column_values(dtype)
@@ -333,11 +346,156 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
                 cache[cache_key] = jitted
         result: ChainResult = jitted(keys, cols)
         jax.block_until_ready(result.samples)
+        if jax.process_count() > 1:
+            # multi-host run: result shards live on other hosts' devices;
+            # all-gather so every process holds the full trace (Trace is
+            # host-side numpy)
+            from jax.experimental import multihost_utils
+
+            result = jax.tree.map(
+                lambda a: multihost_utils.process_allgather(a, tiled=True),
+                result)
     else:
         result = _chunked_sample(lpg, cd.n_vars, cfg, dtype, keys,
                                  collect_idx, sharding, progress,
                                  n_chains)
     walltime = _time.perf_counter() - t0
+    return Trace.from_result(model, cd, result, cfg,
+                             collect_idx=collect_idx, walltime=walltime)
+
+
+def _pallas_block_chains(n_chains, n_vars, cols):
+    """Largest chain-block (lane) width whose VMEM footprint fits.
+
+    The kernel holds, per chain lane: ~6 (dim_pad, C) state buffers plus —
+    for data-conditioned models — per-observation activations of shape
+    (n_rows, C) for the forward pass AND the reverse-mode residuals
+    jax.grad keeps live (measured ~8 concurrent (n, C) buffers for the
+    logistic model).  Columns themselves are lane-independent.  Pick the
+    widest C ∈ {512, 384, 256, 128, n_chains} that divides n_chains and
+    fits the budget; below 128 lanes the VPU underfills, so small models
+    always get ≥128 (or all chains if fewer)."""
+    from ..ops.hmc_pallas import VMEM_LIMIT
+
+    col_bytes = sum(4 * int(np.prod(c.shape)) for c in cols)
+    n_max = max((int(c.shape[0]) for c in cols), default=0)
+    dim_pad = (n_vars + 7) // 8 * 8
+    per_lane = 4 * (6 * dim_pad + 8 * n_max + 64)
+    budget = int(VMEM_LIMIT * 0.75) - col_bytes
+    candidates = [c for c in (512, 384, 256, 128) if n_chains % c == 0]
+    candidates.append(n_chains)
+    for c in candidates:
+        if c * per_lane <= budget:
+            return c
+    raise ValueError(
+        "model data too large for the fused Pallas kernel's VMEM budget "
+        f"(needs {per_lane * 128 / 2**20:.1f} MiB at 128 chains); use the "
+        "default scan path (kernel='scan'), which shards data instead")
+
+
+def _pallas_sample(model, cfg: C.SamplerConfig, n_chains, seed,
+                   collect_idx, progress):
+    """kernel='pallas' path: scan-path warmup (full adaptation semantics),
+    then the sampling phase runs as ONE fused VMEM-resident Pallas kernel
+    (ops/hmc_pallas.py) with the pooled adaptation product — the TPU
+    replacement for the reference's Driver.collectSamples loop over
+    generated bytecode (Driver.scala:92-119 + DataFunction.scala:48-84).
+
+    Restrictions (fall back to the scan path otherwise): fixed-step HMC
+    sampling, identity/diagonal/static-diagonal mass, f32 state.  The
+    kernel takes one (pooled) step size and diag mass for all chains —
+    geometric-mean step, mean variance — matching pooled_adaptation
+    semantics.  Energy/E-BFMI telemetry is not carried (acceptance and
+    divergence counts are)."""
+    import jax.numpy as jnp  # noqa: F811 (local alias for clarity)
+
+    from ..core.trace import Trace
+    from ..ops.hmc_pallas import fused_hmc
+
+    if not isinstance(cfg.sampler, C.HMC):
+        raise ValueError(
+            "kernel='pallas' samples with fixed-step HMC; pass "
+            "sampler=HMC(n_steps) (EHMC/NUTS run on the scan path)")
+    kind = _mass_kind(cfg.mass_matrix)
+    if kind == "dense":
+        raise ValueError("kernel='pallas' supports identity/diagonal "
+                         "mass; dense mass runs on the scan path")
+    dtype = jnp.float32  # kernel state is f32 (VPU/MXU native)
+    cd = model.density()
+    cols = cd.column_values(dtype)
+    lpg_raw = cd.logp_and_grad_fn()
+
+    def lpg(q):
+        return lpg_raw(q, cols)
+
+    t0 = _time.perf_counter()
+    if progress is not None:
+        progress.start(n_chains)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_chains)
+    warm = jax.jit(jax.vmap(
+        build_warmup_fn(lpg, cd.n_vars, cfg, dtype,
+                        cfg.pooled_adaptation),
+        axis_name=CHAIN_AXIS))
+    wp: WarmupProduct = warm(keys)
+    jax.block_until_ready(wp.step_size)
+    if progress is not None:
+        progress.refresh("warmup complete", cfg.warmup_iterations,
+                         cfg.warmup_iterations, wp.warmup_stats,
+                         wp.step_size)
+
+    # pooled adaptation product: one step size (geometric mean) and one
+    # Σ̂ diagonal (mean) drive every chain in the kernel
+    eps = float(jnp.exp(jnp.mean(jnp.log(wp.step_size))))
+    inv_mass_diag = None
+    if wp.mass.diag is not None:
+        inv_mass_diag = jnp.mean(wp.mass.diag, axis=0)
+
+    thin = max(cfg.thin, 1)
+    n_out = cfg.iterations // thin
+    q0 = wp.chain.q.T  # (n_vars, n_chains)
+    block = _pallas_block_chains(n_chains, cd.n_vars, cols)
+
+    lp_lanes = cd.logp_lanes_fn()
+
+    def lp_block(qb, *cols_in):
+        # (n_vars, C) block -> (C,) in the kernel's chains-on-lanes
+        # layout (interp.evaluate_lanes): transpose-free Mosaic lowering,
+        # MatVec as a direct (n,p)@(p,C) MXU matmul (jax.vmap batching
+        # emits bool transposes / batched dot_generals Mosaic rejects)
+        return lp_lanes(qb, cols_in)
+
+    # off-TPU the kernel runs interpreted with host-precomputed RNG —
+    # same code path, CI-checkable; on TPU it compiles with the on-core
+    # PRNG (zero HBM traffic for noise)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    qf, samples, acc, div = fused_hmc(
+        lp_block, q0, step_size=eps, n_steps=cfg.sampler.n_steps,
+        n_iterations=cfg.iterations, seed=seed + 1,
+        inv_mass_diag=inv_mass_diag, collect_every=thin,
+        block_chains=block, columns=cols,
+        interpret=not on_tpu, host_rng=not on_tpu)
+    jax.block_until_ready(samples)
+    walltime = _time.perf_counter() - t0
+
+    # (n_out, n_vars, n_chains) -> per-chain (n_chains, n_out, n_collect)
+    chains = jnp.transpose(samples, (2, 0, 1))
+    if collect_idx is not None:
+        chains = chains[:, :, jnp.asarray(collect_idx)]
+
+    n_grads = cfg.iterations * cfg.sampler.n_steps + 1
+    z = jnp.zeros((n_chains,), dtype)
+    sstats = StatsState(
+        iterations=jnp.full((n_chains,), cfg.iterations, jnp.int32),
+        divergences=jnp.asarray(div, jnp.int32),
+        accept_sum=jnp.asarray(acc) * cfg.iterations,
+        grad_evals=jnp.full((n_chains,), n_grads, jnp.int32),
+        prev_energy=z, energy_trans2=z, e_count=z, e_mean=z, e_raw=z)
+    if progress is not None:
+        progress.finish("complete", sstats, wp.step_size)
+    result = ChainResult(samples=chains, mass=wp.mass,
+                         step_size=wp.step_size,
+                         warmup_stats=wp.warmup_stats, stats=sstats,
+                         final_q=qf.T)
     return Trace.from_result(model, cd, result, cfg,
                              collect_idx=collect_idx, walltime=walltime)
 

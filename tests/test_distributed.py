@@ -1,0 +1,50 @@
+"""Multi-process SPMD test (VERDICT round 1 item 7): two OS processes,
+each with 4 virtual CPU devices, joined by jax.distributed into one
+8-device world; a mesh-sharded sample runs through the ordinary driver
+path — the same code a multi-host TPU slice executes over DCN."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "_dist_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.timeout(600)
+def test_two_process_sharded_sample(tmp_path):
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    out = tmp_path / "result.json"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, coordinator, "2", str(i), str(out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=570)
+        outputs.append(stdout.decode(errors="replace"))
+    for p, text in zip(procs, outputs):
+        assert p.returncode == 0, text[-3000:]
+    result = json.loads(out.read_text())
+    assert result["process_count"] == 2
+    assert result["device_count"] == 8
+    assert result["n_chains"] == 16
+    assert abs(result["mu"] - 2.0) < 0.3, result

@@ -107,3 +107,21 @@ def test_vec_generator_yields_array():
     out = g.get(jax.random.PRNGKey(0), empty_env())
     assert hasattr(out, "shape") and out.shape == (3,)
     assert np.allclose(np.asarray(out), [2.0, 4.0, 6.0])
+
+
+def test_profiler_trace(tmp_path):
+    """inspect.trace produces a loadable profile dir (SURVEY §5 tracing
+    equivalent; VERDICT round 1 item 10)."""
+    import glob
+
+    import rainier_tpu as rt
+    from rainier_tpu import inspect as ins
+    from rainier_tpu.sampler import HMC, SamplerConfig
+
+    mu = rt.Normal(0, 1).latent()
+    model = rt.Model.observe([0.3, -0.1, 0.5], rt.Normal(mu, 1))
+    d = ins.trace(model, SamplerConfig(20, 20, sampler=HMC(3)),
+                  log_dir=str(tmp_path / "prof"), n_chains=2)
+    files = glob.glob(d + "/**/*", recursive=True)
+    assert any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz")
+               for f in files), files
