@@ -102,9 +102,14 @@ class _JaxBackend:
         return self.np.take_along_axis(stacked, idx[None, :], axis=0)[0]
 
     def matvec(self, mat, vec):
-        # the MXU path: X·β with preferred f32 accumulation
+        # the MXU path: X·β with f32 accumulation AND f32-exact products
+        # (default TPU matmul precision is bf16 — too coarse for density
+        # evaluation; see config.matmul_precision)
+        from .. import config as _cfg
+
         return self.np.matmul(mat, vec,
-                              preferred_element_type=self.np.float32)
+                              preferred_element_type=self.np.float32,
+                              precision=_cfg.matmul_precision())
 
 
 NUMPY_BACKEND = _NumpyBackend()
@@ -328,8 +333,8 @@ def evaluate_lanes(roots, env: Mapping[int, object], backend, dtype):
         elif isinstance(node, (R.Parameter, R.VectorParameter)):
             raise KeyError(f"no value bound for parameter {node!r}")
         elif isinstance(node, R.MatVec):
-            memo[nid] = xp.matmul(memo[node.mat.id], memo[node.vec.id],
-                                  preferred_element_type=xp.float32)
+            memo[nid] = backend.matvec(memo[node.mat.id],
+                                       memo[node.vec.id])
         elif isinstance(node, R.Unary):
             memo[nid] = _unary_val(backend, node.op, memo[node.child.id])
         elif isinstance(node, R.Binary):

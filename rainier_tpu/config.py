@@ -16,6 +16,26 @@ import jax.numpy as jnp
 
 _DTYPE = jnp.float32
 
+# Matmul precision for density-evaluation MatVec (X·β and its chain-
+# batched (n,p)@(p,C) form).  TPU MXUs multiply in bf16 by default —
+# ~4e-3 relative error, coarser than the posterior widths sharp GLMs
+# adapt to (a 100k-row logistic posterior has std ~1e-2), which silently
+# wrecks warmup adaptation on TPU while the same f32 program converges on
+# CPU.  "highest" forces f32-exact products (bf16 multi-pass emulation on
+# the MXU); density matmuls are skinny (p ≪ n), so the extra passes are
+# noise next to HBM traffic.  Generator/viz matmuls keep the default.
+_MATMUL_PRECISION = "highest"
+
+
+def set_matmul_precision(p) -> None:
+    """None restores the backend default (bf16 passes on TPU)."""
+    global _MATMUL_PRECISION
+    _MATMUL_PRECISION = p
+
+
+def matmul_precision():
+    return _MATMUL_PRECISION
+
 
 def set_dtype(dtype) -> None:
     global _DTYPE
