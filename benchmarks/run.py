@@ -73,7 +73,7 @@ def bench_model(name: str, build_fn, n_chains: int):
     dt = time.perf_counter() - t0
     evals_per_s = n_chains * bat_iters / dt
 
-    return {
+    rec = {
         "model": name,
         "n_vars": cd.n_vars,
         "build_s": round(build_s, 3),
@@ -81,6 +81,13 @@ def bench_model(name: str, build_fn, n_chains: int):
         "batched_evals_per_s": round(evals_per_s),
         "batch": n_chains,
     }
+    # compile-time regression guard (round-1 pathology: 169s build for
+    # readme_regression from XLA dot strength reduction; docs/internals.md)
+    if build_s > 30:
+        rec["build_slow"] = True
+        print(f"WARNING: {name} build_s={build_s:.1f}s exceeds the 30s "
+              "compile-time guard", file=sys.stderr)
+    return rec
 
 
 def main():

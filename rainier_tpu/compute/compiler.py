@@ -228,7 +228,7 @@ class CompiledDensity:
         if kind not in self._jit_cache:
             f = self.logp_fn() if kind == "logp" \
                 else self.logp_and_grad_fn()
-            self._jit_cache[kind] = jax.jit(f)
+            self._jit_cache[kind] = config.jit(f)
         return self._jit_cache[kind]
 
     def logp(self, q) -> jax.Array:
@@ -257,7 +257,7 @@ def compile_outputs(parameters: Sequence[R.Real],
             env[c.id] = v
         return interp.evaluate(outs, env, backend, q.dtype)
 
-    jitted = jax.jit(raw)
+    jitted = config.jit(raw)
 
     # column values are fetched per call (runtime args), so data swapped
     # via Column.swap_values is visible without recompiling

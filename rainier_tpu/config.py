@@ -37,6 +37,29 @@ def matmul_precision():
     return _MATMUL_PRECISION
 
 
+# XLA:TPU's dot-strength-reduction pass pathologically explodes on
+# grad-of-MatVec programs with narrow p (readme-regression shape: MatVec
+# p=3 under grad with an injection chain): 41.9s to compile vs 1.1s with
+# the pass disabled, measured on v5e (docs/internals.md).  Density
+# programs keep their dots as dots.
+_TPU_COMPILER_FLAGS = {"xla_tpu_enable_dot_strength_reduction": "false"}
+
+
+def jit(fun, **kw):
+    """jax.jit for density/sampler programs: on TPU, applies compiler
+    flags that work around known XLA pathologies (see _TPU_COMPILER_FLAGS);
+    identical to jax.jit elsewhere."""
+    import jax
+
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu:
+        kw.setdefault("compiler_options", dict(_TPU_COMPILER_FLAGS))
+    return jax.jit(fun, **kw)
+
+
 def set_dtype(dtype) -> None:
     global _DTYPE
     _DTYPE = jnp.dtype(dtype)

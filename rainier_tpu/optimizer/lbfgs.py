@@ -216,7 +216,7 @@ def lbfgs_map(model, t=None, seed: int = 0, m: int = 5,
         rand = init_scale * jax.random.normal(
             jax.random.PRNGKey(seed), (n_starts - 1, cd.n_vars), dtype)
         x0 = x0.at[1:].set(rand)
-    sts = jax.jit(jax.vmap(
+    sts = global_config.jit(jax.vmap(
         lambda x: minimize(fg, x, m=m, max_iters=max_iters,
                            grad_tol=grad_tol)))(x0)
     best = jnp.argmin(sts.f)

@@ -340,8 +340,9 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
 
             batched = jax.vmap(chain_fn_cols, in_axes=(0, None),
                                axis_name=CHAIN_AXIS)
-            jitted = jax.jit(batched, in_shardings=(sharding, None)) \
-                if sharding is not None else jax.jit(batched)
+            jitted = global_config.jit(batched,
+                                        in_shardings=(sharding, None)) \
+                if sharding is not None else global_config.jit(batched)
             if cache_key is not None:
                 cache[cache_key] = jitted
         result: ChainResult = jitted(keys, cols)
@@ -432,7 +433,7 @@ def _pallas_sample(model, cfg: C.SamplerConfig, n_chains, seed,
     if progress is not None:
         progress.start(n_chains)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_chains)
-    warm = jax.jit(jax.vmap(
+    warm = global_config.jit(jax.vmap(
         build_warmup_fn(lpg, cd.n_vars, cfg, dtype,
                         cfg.pooled_adaptation),
         axis_name=CHAIN_AXIS))
@@ -508,8 +509,8 @@ def _chunked_sample(lpg, n_vars, cfg, dtype, keys, collect_idx, sharding,
     warm = jax.vmap(build_warmup_fn(lpg, n_vars, cfg, dtype,
                                     cfg.pooled_adaptation),
                     axis_name=CHAIN_AXIS)
-    warm = jax.jit(warm, in_shardings=sharding) if sharding is not None \
-        else jax.jit(warm)
+    warm = global_config.jit(warm, in_shardings=sharding) \
+        if sharding is not None else global_config.jit(warm)
     wp: WarmupProduct = warm(keys)
     jax.block_until_ready(wp.step_size)
     progress.refresh("warmup complete", cfg.warmup_iterations,
@@ -519,7 +520,7 @@ def _chunked_sample(lpg, n_vars, cfg, dtype, keys, collect_idx, sharding,
     n_chunks = min(20, max(n_out, 1))
     chunk = max(n_out // n_chunks, 1)
     sampling_fn = build_sampling_fn(lpg, cfg, dtype, chunk, collect_idx)
-    sfn = jax.jit(jax.vmap(sampling_fn, axis_name=CHAIN_AXIS,
+    sfn = global_config.jit(jax.vmap(sampling_fn, axis_name=CHAIN_AXIS,
                            in_axes=(0, 0, 0)))
     sstats0 = jax.vmap(lambda e: stats_init(dtype, e))(
         wp.warmup_stats.prev_energy)

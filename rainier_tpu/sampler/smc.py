@@ -271,7 +271,7 @@ def smc(model, cfg: Optional[SMCConfig] = None, seed: int = 0,
         return run_smc(logp, cd.n_vars, cfg, seed=seed, dtype=dtype,
                        sharding=sharding)
 
-    result: SMCResult = jax.jit(run)(cols)
+    result: SMCResult = global_config.jit(run)(cols)
     jax.block_until_ready(result.particles)
 
     # 4 pseudo-chains so cross-chain diagnostics are defined
