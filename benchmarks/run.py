@@ -38,7 +38,8 @@ def _eval_loop(f, iters):
 
         return jax.lax.scan(step, q, None, length=iters)
 
-    return jax.jit(loop)
+    from rainier_tpu import config as _cfg
+    return _cfg.jit(loop)
 
 
 def bench_model(name: str, build_fn, n_chains: int):
@@ -52,7 +53,8 @@ def bench_model(name: str, build_fn, n_chains: int):
         return lpg(q, cols)
 
     q = jnp.zeros((cd.n_vars,), jnp.float32)
-    jax.block_until_ready(jax.jit(f)(q))
+    from rainier_tpu import config as _cfg
+    jax.block_until_ready(_cfg.jit(f)(q))
     build_s = time.perf_counter() - t0
 
     # sequential-eval latency (JMH run() analogue): 1000 dependent evals
