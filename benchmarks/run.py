@@ -97,6 +97,10 @@ def main():
     ap.add_argument("models", nargs="*", default=[])
     ap.add_argument("--chains", type=int, default=1024)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--fresh", action="store_true",
+                    help="run each model in its own subprocess; avoids "
+                    "the remote-compile-service slowdown correlated with "
+                    "prior in-process device activity (docs/internals.md)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -104,6 +108,17 @@ def main():
     from benchmarks import models as M
 
     names = args.models or list(M.ALL)
+
+    if args.fresh:
+        import subprocess
+        for name in names:
+            cmd = [sys.executable, os.path.abspath(__file__), name,
+                   "--chains", str(args.chains)]
+            if args.cpu:
+                cmd.append("--cpu")
+            subprocess.run(cmd, check=False)
+        return
+
     for name in names:
         try:
             rec = bench_model(name, M.ALL[name], args.chains)

@@ -262,7 +262,7 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size: float, n_steps: int,
             (n_out, dim_pad, n_chains), jnp.float32))
         # ANY-space outputs must be unblocked; each grid step DMAs into
         # its own chain-column slice
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch_shapes = [
             pltpu.VMEM((dim_pad, block_chains), jnp.float32),
             pltpu.SemaphoreType.DMA(()),

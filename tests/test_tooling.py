@@ -125,3 +125,31 @@ def test_profiler_trace(tmp_path):
     files = glob.glob(d + "/**/*", recursive=True)
     assert any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz")
                for f in files), files
+
+
+def test_website_build(tmp_path):
+    """website/build.py renders every doc page with a sidebar and resolves
+    intra-doc links (reference: website/ Docusaurus + sidebars.json; the
+    executed-snippet half of that pipeline is tests/test_docs.py)."""
+    import importlib.util
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "website_build", os.path.join(root, "website", "build.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = str(tmp_path / "site")
+    n = mod.build(out)
+    docs = [f for f in os.listdir(mod.DOCS) if f.endswith(".md")]
+    assert n == len(docs)
+    pages = {f for f in os.listdir(out) if f.endswith(".html")}
+    assert "index.html" in pages and "intro.html" in pages
+    # every internal href resolves to a rendered page
+    for page in sorted(pages):
+        with open(os.path.join(out, page)) as f:
+            text = f.read()
+        for href in re.findall(r'href="([\w-]+\.html)', text):
+            assert href in pages, (page, href)
+        assert "<nav>" in text and "codehilite" in text
