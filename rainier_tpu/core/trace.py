@@ -53,6 +53,30 @@ def _diagnostics_all(chains: np.ndarray, max_lag: int = 100):
     return r_hat, ess
 
 
+def _split_chains(chains: np.ndarray) -> np.ndarray:
+    """(m, n, k) → (2m, n//2, k): split each chain in half so r̂ also
+    detects within-chain non-stationarity (Vehtari et al. 2021 §3.1)."""
+    m, n, k = chains.shape
+    half = n // 2
+    return np.concatenate([chains[:, :half], chains[:, half:2 * half]],
+                          axis=0)
+
+
+def _rank_normalize(chains: np.ndarray) -> np.ndarray:
+    """Pooled fractional ranks → normal scores z = Φ⁻¹((r−3/8)/(S+1/4))
+    (Vehtari et al. 2021 eq. 14); makes r̂/ESS robust to heavy tails."""
+    from scipy.special import ndtri
+
+    m, n, k = chains.shape
+    flat = chains.reshape(m * n, k)
+    ranks = np.empty_like(flat)
+    order = np.argsort(flat, axis=0)
+    ranks[order, np.arange(k)[None, :]] = (
+        np.arange(1, m * n + 1, dtype=flat.dtype)[:, None])
+    z = ndtri((ranks - 0.375) / (m * n + 0.25))
+    return z.reshape(m, n, k)
+
+
 class Trace:
     def __init__(self, chains: np.ndarray, model, compiled, config,
                  mass=None, stats=None, warmup_stats=None, step_size=None,
@@ -102,10 +126,26 @@ class Trace:
         return self.chains.reshape(-1, self.chains.shape[-1])
 
     # -- diagnostics ------------------------------------------------------
-    def diagnostics(self) -> list[Diagnostics]:
+    def diagnostics(self, split: bool = False,
+                    rank_normalized: bool = False) -> list[Diagnostics]:
+        """Per-parameter (r̂, ESS).
+
+        Defaults match the reference exactly (Stan manual §30.3/30.4,
+        Trace.scala:49-120). ``split=True`` computes split-chain r̂;
+        ``rank_normalized=True`` (implies split) computes the
+        rank-normalized bulk diagnostics of Vehtari et al. 2021
+        ("Rank-normalization, folding, and localization"), robust to
+        heavy tails and infinite variance."""
         if self.n_chains < 2:
             raise ValueError("diagnostics requires multiple chains")
-        r_hat, ess = _diagnostics_all(self.chains)
+        chains = self.chains
+        if rank_normalized:
+            split = True
+        if split:
+            chains = _split_chains(chains)
+        if rank_normalized:
+            chains = _rank_normalize(chains)
+        r_hat, ess = _diagnostics_all(chains)
         return [Diagnostics(float(r), float(e))
                 for r, e in zip(r_hat, ess)]
 
