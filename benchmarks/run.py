@@ -111,12 +111,20 @@ def main():
 
     if args.fresh:
         import subprocess
+        failed = []
         for name in names:
             cmd = [sys.executable, os.path.abspath(__file__), name,
                    "--chains", str(args.chains)]
             if args.cpu:
                 cmd.append("--cpu")
-            subprocess.run(cmd, check=False)
+            rc = subprocess.run(cmd, check=False).returncode
+            if rc != 0:
+                failed.append(name)
+                print(json.dumps({"model": name, "error":
+                                  f"subprocess exited {rc}"}), flush=True)
+        if failed:
+            print(f"FAILED: {', '.join(failed)}", file=sys.stderr)
+            sys.exit(1)
         return
 
     for name in names:

@@ -64,17 +64,19 @@ def _split_chains(chains: np.ndarray) -> np.ndarray:
 
 def _rank_normalize(chains: np.ndarray) -> np.ndarray:
     """Pooled fractional ranks → normal scores z = Φ⁻¹((r−3/8)/(S+1/4))
-    (Vehtari et al. 2021 eq. 14); makes r̂/ESS robust to heavy tails."""
+    (Vehtari et al. 2021 eq. 14); makes r̂/ESS robust to heavy tails.
+
+    Ranks are computed in float64 regardless of the chains' dtype (f32
+    integer ranks collide past 2^24 draws) with average ranks on ties,
+    matching Vehtari et al.'s definition."""
     from scipy.special import ndtri
+    from scipy.stats import rankdata
 
     m, n, k = chains.shape
     flat = chains.reshape(m * n, k)
-    ranks = np.empty_like(flat)
-    order = np.argsort(flat, axis=0)
-    ranks[order, np.arange(k)[None, :]] = (
-        np.arange(1, m * n + 1, dtype=flat.dtype)[:, None])
+    ranks = rankdata(flat, method="average", axis=0).astype(np.float64)
     z = ndtri((ranks - 0.375) / (m * n + 0.25))
-    return z.reshape(m, n, k)
+    return z.reshape(m, n, k).astype(np.float64)
 
 
 class Trace:

@@ -83,7 +83,7 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def fused_hmc(lp_fn: Callable, q0, *, step_size: float, n_steps: int,
+def fused_hmc(lp_fn: Callable, q0, *, step_size, n_steps: int,
               n_iterations: int, seed: int, inv_mass_diag=None,
               collect_every: int = 0, block_chains: int = 512,
               interpret: bool = False, columns: Sequence = (),
@@ -92,7 +92,11 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size: float, n_steps: int,
     in VMEM.
 
     q0: (dim, n_chains), n_chains % block_chains == 0.
-    inv_mass_diag: (dim,) Σ̂ diagonal (as adapted by the driver) or None.
+    step_size: scalar, or (n_chains,) per-chain adapted step sizes — each
+    chain lane integrates with its own ε (the reference samples every
+    chain with its own adapted step size, sampler/Driver.scala:92-119).
+    inv_mass_diag: Σ̂ diagonal as adapted by the driver — (dim,) shared,
+    or (n_chains, dim) per-chain — or None (identity mass).
     collect_every: 0 → return only final q; k → also stream every k-th
     draw to HBM.
     columns: data arrays forwarded to lp_fn, VMEM-resident for the run.
@@ -108,7 +112,9 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size: float, n_steps: int,
     assert n_chains % block_chains == 0, (n_chains, block_chains)
     grid = n_chains // block_chains
     dim_pad = _round_up(dim, 8)
-    eps = float(step_size)  # python literal: folded into the kernel
+    # per-lane ε travels as a (1, n_chains) VMEM input (scalar broadcast)
+    eps_lanes = jnp.broadcast_to(
+        jnp.asarray(step_size, jnp.float32).reshape(1, -1), (1, n_chains))
 
     columns = tuple(jnp.asarray(c, jnp.float32) for c in columns)
     col_bytes = sum(4 * c.size for c in columns)
@@ -120,16 +126,20 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size: float, n_steps: int,
 
     q0 = jnp.asarray(q0, jnp.float32)
     if inv_mass_diag is not None:
-        scale = jnp.sqrt(jnp.asarray(inv_mass_diag, jnp.float32))
-        q0 = q0 / scale[:, None]
+        imd = jnp.asarray(inv_mass_diag, jnp.float32)
+        # normalize to (dim, n_chains): per-chain Σ̂ when 2-D
+        scale = jnp.broadcast_to(
+            jnp.sqrt(imd.T if imd.ndim == 2 else imd[:, None]),
+            (dim, n_chains))
+        q0 = q0 / scale
     else:
         scale = None
 
     # standardization scale travels as a kernel input (ones = identity);
     # captured arrays are not allowed in pallas kernel bodies
-    scale_pad = jnp.ones((dim_pad, 128), jnp.float32)
+    scale_pad = jnp.ones((dim_pad, n_chains), jnp.float32)
     if scale is not None:
-        scale_pad = scale_pad.at[:dim, :].set(scale[:, None])
+        scale_pad = scale_pad.at[:dim, :].set(scale)
 
     qp0 = jnp.zeros((dim_pad, n_chains), jnp.float32).at[:dim].set(q0)
     n_out = (n_iterations // collect_every) if collect_every else 0
@@ -148,7 +158,7 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size: float, n_steps: int,
             minval=1.1920929e-7, maxval=1.0)
         noise_inputs = (p_noise, u_noise)
 
-    def kernel(seed_ref, q_ref, scale_ref, *rest):
+    def kernel(seed_ref, q_ref, scale_ref, eps_ref, *rest):
         col_refs = rest[:n_cols]
         rest = rest[n_cols:]
         if host_rng:
@@ -160,7 +170,10 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size: float, n_steps: int,
         block = pl.program_id(0)
         if not host_rng:
             pltpu.prng_seed(seed_ref[0] + block * 7919)
-        sc = scale_ref[:, 0:1]  # (dim_pad, 1)
+        sc = scale_ref[:, :]    # (dim_pad, C) per-lane mass scale
+        # per-lane ε broadcast once to full state shape ((1, C) is fine as
+        # a broadcast source, just not as a loop carry — see lp_pad note)
+        eps = jnp.broadcast_to(eps_ref[0:1, :], (dim_pad, block_chains))
         cols = tuple(r[...] for r in col_refs)
 
         def lp_pad(qp):
@@ -272,7 +285,9 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size: float, n_steps: int,
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((dim_pad, block_chains), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((dim_pad, 128), lambda i: (0, 0),
+        pl.BlockSpec((dim_pad, block_chains), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_chains), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
     ]
     for c in columns:
@@ -298,15 +313,15 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size: float, n_steps: int,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
-    )(jnp.asarray([seed], jnp.int32), qp0, scale_pad, *columns,
-      *noise_inputs)
+    )(jnp.asarray([seed], jnp.int32), qp0, scale_pad, eps_lanes,
+      *columns, *noise_inputs)
 
     qf = results[0][:dim]
     acc = results[1][0]
     div = results[2][0]
     samples = results[3][:, :dim] if collect_every else None
     if scale is not None:
-        qf = qf * scale[:, None]
+        qf = qf * scale
         if samples is not None:
-            samples = samples * scale[None, :, None]
+            samples = samples * scale[None]
     return qf, samples, acc, div

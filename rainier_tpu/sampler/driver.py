@@ -281,19 +281,29 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
     execution with refreshes between chunks.
     `kernel`: 'scan' (default, XLA) or 'pallas' — scan-path warmup
     produces the adaptation product, then the whole sampling phase runs
-    VMEM-resident in one fused Pallas kernel (ops/hmc_pallas.py).
+    VMEM-resident in one fused Pallas kernel (ops/hmc_pallas.py).  When a
+    run is outside the fused kernel's envelope (EHMC/NUTS sampling, dense
+    mass, a mesh, or columns beyond the VMEM budget) 'pallas' logs a
+    warning and runs the scan path instead; 'pallas!' raises, for callers
+    who need the kernel or nothing.
     """
+    import warnings
+
     from ..core.trace import Trace
 
-    if kernel == "pallas":
-        if mesh is not None:
-            raise ValueError("kernel='pallas' is single-chip; drop mesh "
-                             "(multi-chip runs use the scan path)")
-        return _pallas_sample(model, cfg, n_chains, seed, collect_idx,
-                              progress)
+    if kernel in ("pallas", "pallas!"):
+        reason = _pallas_unsupported_reason(model, cfg, n_chains, mesh)
+        if reason is None:
+            return _pallas_sample(model, cfg, n_chains, seed, collect_idx,
+                                  progress)
+        if kernel == "pallas!":
+            raise ValueError(f"kernel='pallas!': {reason}")
+        warnings.warn(f"kernel='pallas' falling back to the scan path: "
+                      f"{reason}", stacklevel=2)
+        kernel = "scan"
     if kernel != "scan":
         raise ValueError(f"unknown kernel {kernel!r} "
-                         "(expected 'scan' or 'pallas')")
+                         "(expected 'scan', 'pallas' or 'pallas!')")
     dtype = dtype or global_config.dtype()
     cd = model.density()
     cols = cd.column_values(dtype)
@@ -365,6 +375,32 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
                              collect_idx=collect_idx, walltime=walltime)
 
 
+def _pallas_unsupported_reason(model, cfg, n_chains, mesh):
+    """None if the fused Pallas kernel can run this config, else a
+    human-readable reason (the caller warns-and-falls-back or raises)."""
+    from ..ops.hmc_pallas import VMEM_COLUMN_BUDGET
+
+    if mesh is not None:
+        return ("the fused kernel is single-chip; multi-chip runs use "
+                "the scan path")
+    if not isinstance(cfg.sampler, C.HMC):
+        return ("the fused kernel samples with fixed-step HMC; "
+                f"{type(cfg.sampler).__name__} runs on the scan path")
+    if _mass_kind(cfg.mass_matrix) == "dense":
+        return "the fused kernel supports identity/diagonal mass only"
+    cd = model.density()
+    cols = cd.column_values(jnp.float32)
+    col_bytes = sum(4 * int(np.prod(c.shape)) for c in cols)
+    if col_bytes > VMEM_COLUMN_BUDGET:
+        return (f"columns need {col_bytes / 2**20:.1f} MiB of VMEM "
+                f"(budget {VMEM_COLUMN_BUDGET / 2**20:.0f} MiB)")
+    try:
+        _pallas_block_chains(n_chains, cd.n_vars, cols)
+    except ValueError as e:
+        return str(e)
+    return None
+
+
 def _pallas_block_chains(n_chains, n_vars, cols):
     """Largest chain-block (lane) width whose VMEM footprint fits.
 
@@ -381,7 +417,8 @@ def _pallas_block_chains(n_chains, n_vars, cols):
     col_bytes = sum(4 * int(np.prod(c.shape)) for c in cols)
     n_max = max((int(c.shape[0]) for c in cols), default=0)
     dim_pad = (n_vars + 7) // 8 * 8
-    per_lane = 4 * (6 * dim_pad + 8 * n_max + 64)
+    # ~6 state buffers + the per-lane mass-scale input (7 dim_pad-rows)
+    per_lane = 4 * (7 * dim_pad + 8 * n_max + 64)
     budget = int(VMEM_LIMIT * 0.75) - col_bytes
     candidates = [c for c in (512, 384, 256, 128) if n_chains % c == 0]
     candidates.append(n_chains)
@@ -398,29 +435,23 @@ def _pallas_sample(model, cfg: C.SamplerConfig, n_chains, seed,
                    collect_idx, progress):
     """kernel='pallas' path: scan-path warmup (full adaptation semantics),
     then the sampling phase runs as ONE fused VMEM-resident Pallas kernel
-    (ops/hmc_pallas.py) with the pooled adaptation product — the TPU
-    replacement for the reference's Driver.collectSamples loop over
-    generated bytecode (Driver.scala:92-119 + DataFunction.scala:48-84).
+    (ops/hmc_pallas.py) — the TPU replacement for the reference's
+    Driver.collectSamples loop over generated bytecode
+    (Driver.scala:92-119 + DataFunction.scala:48-84).
 
-    Restrictions (fall back to the scan path otherwise): fixed-step HMC
-    sampling, identity/diagonal/static-diagonal mass, f32 state.  The
-    kernel takes one (pooled) step size and diag mass for all chains —
-    geometric-mean step, mean variance — matching pooled_adaptation
-    semantics.  Energy/E-BFMI telemetry is not carried (acceptance and
-    divergence counts are)."""
+    Adaptation semantics match the scan path: by default each chain lane
+    samples with its own adapted step size and mass diagonal (per-lane ε
+    and Σ̂ inputs — per-chain adapted sampling as in Driver.scala:92-119);
+    with cfg.pooled_adaptation the product is pooled (geometric-mean
+    step, mean variance) exactly as warmup pooled it.  Envelope (checked
+    by _pallas_unsupported_reason before we get here): fixed-step HMC,
+    identity/diagonal/static-diagonal mass, f32 state.  Energy/E-BFMI
+    telemetry is not carried (acceptance and divergence counts are)."""
     import jax.numpy as jnp  # noqa: F811 (local alias for clarity)
 
     from ..core.trace import Trace
     from ..ops.hmc_pallas import fused_hmc
 
-    if not isinstance(cfg.sampler, C.HMC):
-        raise ValueError(
-            "kernel='pallas' samples with fixed-step HMC; pass "
-            "sampler=HMC(n_steps) (EHMC/NUTS run on the scan path)")
-    kind = _mass_kind(cfg.mass_matrix)
-    if kind == "dense":
-        raise ValueError("kernel='pallas' supports identity/diagonal "
-                         "mass; dense mass runs on the scan path")
     dtype = jnp.float32  # kernel state is f32 (VPU/MXU native)
     cd = model.density()
     cols = cd.column_values(dtype)
@@ -444,12 +475,18 @@ def _pallas_sample(model, cfg: C.SamplerConfig, n_chains, seed,
                          cfg.warmup_iterations, wp.warmup_stats,
                          wp.step_size)
 
-    # pooled adaptation product: one step size (geometric mean) and one
-    # Σ̂ diagonal (mean) drive every chain in the kernel
-    eps = float(jnp.exp(jnp.mean(jnp.log(wp.step_size))))
-    inv_mass_diag = None
-    if wp.mass.diag is not None:
-        inv_mass_diag = jnp.mean(wp.mass.diag, axis=0)
+    # adaptation product: per-lane ε and Σ̂ diagonal by default; pooled
+    # (geometric-mean step, mean variance) when the config asks for it
+    if cfg.pooled_adaptation:
+        eps = jnp.full((n_chains,),
+                       jnp.exp(jnp.mean(jnp.log(wp.step_size))),
+                       jnp.float32)
+        inv_mass_diag = None
+        if wp.mass.diag is not None:
+            inv_mass_diag = jnp.mean(wp.mass.diag, axis=0)  # (n_vars,)
+    else:
+        eps = wp.step_size
+        inv_mass_diag = wp.mass.diag  # (n_chains, n_vars) or None
 
     thin = max(cfg.thin, 1)
     n_out = cfg.iterations // thin

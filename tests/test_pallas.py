@@ -126,18 +126,93 @@ def test_driver_pallas_kernel_matches_scan_path():
     assert max(d.r_hat for d in tr_pal.diagnostics()) < 1.1
 
 
-def test_driver_pallas_rejects_unsupported_configs():
+def test_fused_hmc_per_lane_step_size():
+    """Per-chain ε: wildly different step sizes per lane must each give
+    correct marginals — lanes with ε≈2.0 (near the stability limit for a
+    unit normal) and ε≈0.3 coexist in one kernel launch."""
+    eps = np.where(np.arange(128) % 2 == 0, 0.3, 1.2).astype(np.float32)
+    q0 = jnp.zeros((3, 128))
+    _, samples, acc, div = fused_hmc(
+        _std_normal, q0, step_size=eps, n_steps=5, n_iterations=600,
+        seed=4, collect_every=1, block_chains=128, **CI_KW)
+    s = np.asarray(samples)[150:]
+    assert float(np.sum(div)) == 0.0
+    # both halves of the lane population must individually be N(0,1)
+    for lanes in (s[:, :, ::2], s[:, :, 1::2]):
+        assert np.all(np.abs(lanes.mean(axis=(0, 2))) < 0.15)
+        assert np.all(np.abs(lanes.std(axis=(0, 2)) - 1.0) < 0.15)
+    # small-ε lanes must accept more than near-limit lanes
+    assert float(np.mean(acc[::2])) > float(np.mean(acc[1::2]))
+
+
+def test_fused_hmc_per_lane_mass_diag():
+    """Per-chain Σ̂: each lane standardizes with its own diagonal.  The
+    target's variance differs per lane (std 1 on even lanes, 3 on odd);
+    each lane gets its own correct Σ̂, so standardized dynamics are
+    identical — the output stds must recover the per-lane targets.  A
+    pooled collapse (mean Σ̂ = 5) would miss both by ~√5/1 and ~√5/3."""
+    def lp(q):
+        lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+        var = jnp.where(lane % 2 == 0, 1.0, 9.0)
+        return -0.5 * jnp.sum(q * q / var, axis=0)
+
+    imd = np.where(np.arange(128)[:, None] % 2 == 0, 1.0, 9.0)
+    imd = np.broadcast_to(imd, (128, 3)).astype(np.float32)
+    q0 = jnp.zeros((3, 128))
+    _, samples, acc, _ = fused_hmc(
+        lp, q0, step_size=0.7, n_steps=5, n_iterations=600, seed=5,
+        inv_mass_diag=imd, collect_every=1, block_chains=128, **CI_KW)
+    s = np.asarray(samples)[150:]
+    std_even = s[:, :, ::2].std(axis=(0, 2))
+    std_odd = s[:, :, 1::2].std(axis=(0, 2))
+    assert np.all(np.abs(std_even - 1.0) < 0.15), std_even
+    assert np.all(np.abs(std_odd - 3.0) < 0.45), std_odd
+
+
+def test_driver_pallas_per_chain_adaptation_matches_scan():
+    """pooled_adaptation=False (the default): the kernel must honor each
+    chain's own adapted ε/Σ̂ (VERDICT r2 item 2) — per-chain moments on a
+    heteroscedastic posterior agree with the scan path."""
+    rng = np.random.default_rng(7)
+    data = rng.normal(0.5, 3.0, size=128)
+    mu = rt.Normal(0, 10).latent()
+    sigma = rt.Exponential(0.1).latent()
+    model = rt.Model.observe(list(data), rt.Normal(mu, sigma))
+    cfg = SamplerConfig(warmup_iterations=400, iterations=500,
+                        sampler=HMC(8), pooled_adaptation=False)
+    tr_scan = model.sample(cfg, n_chains=8, seed=1)
+    tr_pal = model.sample(cfg, n_chains=8, seed=1, kernel="pallas!")
+    # per-chain adapted step sizes genuinely differ across chains — the
+    # pooled collapse would erase this
+    assert np.std(np.asarray(tr_pal.step_size)) > 0.0
+    for expr in (mu, sigma):
+        assert abs(tr_scan.mean(expr) - tr_pal.mean(expr)) < 0.2
+    # per-chain means (not just pooled) agree within MC error
+    mu_scan = tr_scan.chains[:, :, 0].mean(axis=1)
+    mu_pal = tr_pal.chains[:, :, 0].mean(axis=1)
+    assert np.all(np.abs(mu_scan - mu_pal) < 0.5)
+
+
+def test_driver_pallas_falls_back_with_warning():
+    """Unsupported configs warn and run the scan path (kernel='pallas');
+    kernel='pallas!' raises instead (VERDICT r2 item 5)."""
     mu = rt.Normal(0, 1).latent()
     model = rt.Model.observe([0.1, 0.2], rt.Normal(mu, 1))
+    with pytest.warns(UserWarning, match="fixed-step HMC"):
+        tr = model.sample(SamplerConfig(20, 20), n_chains=2,
+                          kernel="pallas")
+    assert tr.chains.shape[:2] == (2, 20)  # scan path actually ran
     with pytest.raises(ValueError, match="fixed-step HMC"):
-        model.sample(SamplerConfig(10, 10), n_chains=2, kernel="pallas")
+        model.sample(SamplerConfig(10, 10), n_chains=2, kernel="pallas!")
     from rainier_tpu.sampler import DenseMassMatrixTuner
 
-    with pytest.raises(ValueError, match="dense"):
-        model.sample(
-            SamplerConfig(10, 10, sampler=HMC(3),
-                          mass_matrix=DenseMassMatrixTuner()),
-            n_chains=2, kernel="pallas")
+    dense_cfg = SamplerConfig(10, 10, sampler=HMC(3),
+                              mass_matrix=DenseMassMatrixTuner())
+    with pytest.raises(ValueError, match="dense|diagonal"):
+        model.sample(dense_cfg, n_chains=2, kernel="pallas!")
+    with pytest.warns(UserWarning, match="mass"):
+        tr = model.sample(dense_cfg, n_chains=2, kernel="pallas")
+    assert tr.chains.shape[:2] == (2, 10)
 
 
 @tpu_only
