@@ -1,6 +1,20 @@
 #!/usr/bin/env python
 """End-to-end sampling benchmarks on the BASELINE.md configs: full
-adaptive warmup + sampling, reporting walltime, samples/s and ESS/s.
+adaptive warmup + sampling, reporting a complete wall-clock breakdown
+(build / compile / sample / transfer / diagnostics — the phases sum to
+wall_s) plus throughput and *robust* convergence diagnostics.
+
+Two diagnostic variants are reported (docs/performance.md "ESS
+estimators"):
+  * min_ess / max_rhat — the classic Stan-manual estimators the
+    reference implements (Trace.scala:49-120).  The autocorrelation sum
+    clips at 0, capping ESS at chains×iterations; `ess_capped` flags
+    records where the cap binds (common on fast-mixing posteriors with
+    many chains — the number is then a lower-bound artifact, not
+    evidence of n·m independent draws).
+  * min_ess_bulk / max_rhat_rank — rank-normalized split-chain bulk
+    diagnostics (Vehtari et al. 2021), robust to heavy tails; ess_per_s
+    uses THIS estimator against the honest sample-phase denominator.
 
 Usage: python benchmarks/e2e.py [config ...] [--cpu] [--chains N]
 One JSON line per config.
@@ -22,7 +36,7 @@ import jax  # noqa: E402
 
 def run_config(name, n_chains_default):
     import rainier_tpu as rt
-    from rainier_tpu.sampler import HMC, NUTS, SamplerConfig
+    from rainier_tpu.sampler import EHMC, HMC, NUTS, SamplerConfig
     from benchmarks import models as M
 
     if name == "funnel_hmc":
@@ -37,6 +51,15 @@ def run_config(name, n_chains_default):
         model = M.eight_schools()
         cfg = SamplerConfig(1000, 1000, sampler=NUTS(max_depth=8))
         chains, collect = n_chains_default, None
+    elif name == "ehmc_default":
+        # the reference's DefaultConfig: 1000/1000, EHMC(1024)
+        # (sampler/Sampler.scala:16-27) — the variable-trajectory path
+        # whose vmapped while_loop is the known TPU risk (SURVEY §7
+        # hard part 1); benchmarked on the funnel for comparability
+        # with funnel_hmc at equal iteration counts
+        model = M.funnel()
+        cfg = SamplerConfig(1000, 1000, sampler=EHMC(max_steps=1024))
+        chains, collect = min(n_chains_default, 256), None
     elif name == "logistic_100k":
         # NUTS, not fixed-length HMC: overdispersed inits start ~600
         # posterior SDs from this extremely concentrated posterior
@@ -60,33 +83,54 @@ def run_config(name, n_chains_default):
 
     t0 = time.perf_counter()
     tr = model.sample(cfg, n_chains=chains, seed=0, collect_idx=collect)
-    wall = time.perf_counter() - t0
+    t1 = time.perf_counter()
     draws = chains * tr.n_iterations
     try:
         d = tr.diagnostics()
         min_ess = float(min(x.effective_sample_size for x in d))
         max_rhat = float(max(x.r_hat for x in d))
+        dr = tr.diagnostics(rank_normalized=True)
+        min_ess_bulk = float(min(x.effective_sample_size for x in dr))
+        max_rhat_rank = float(max(x.r_hat for x in dr))
     except Exception:
-        min_ess, max_rhat = float("nan"), float("nan")
-    return {
+        min_ess = max_rhat = float("nan")
+        min_ess_bulk = max_rhat_rank = float("nan")
+    diag_s = time.perf_counter() - t1
+    wall = time.perf_counter() - t0
+    timings = tr.timings or {}
+    sample_s = timings.get("sample_s", tr.walltime)
+    rec = {
         "config": name,
         "n_vars": model.n_vars,
         "chains": chains,
         "iterations": tr.n_iterations,
         "wall_s": round(wall, 2),
-        "sample_wall_s": round(tr.walltime, 2),
-        "samples_per_s": round(draws / tr.walltime),
+        # phase breakdown (sums to wall_s up to rounding)
+        "build_s": timings.get("build_s"),
+        "compile_s": timings.get("compile_s"),
+        "sample_s": round(sample_s, 2),
+        "transfer_s": timings.get("transfer_s"),
+        "diag_s": round(diag_s, 2),
+        # throughput: device rate and honest end-to-end rate
+        "samples_per_s": round(draws / sample_s),
+        "samples_per_s_e2e": round(draws / wall),
+        # classic (reference-parity) estimators; ESS is capped at n·m
         "min_ess": round(min_ess, 1),
-        "ess_per_s": round(min_ess / tr.walltime, 1),
         "max_rhat": round(max_rhat, 4),
+        "ess_capped": bool(min_ess >= 0.99 * draws),
+        # robust rank-normalized split-chain estimators (honest rates)
+        "min_ess_bulk": round(min_ess_bulk, 1),
+        "max_rhat_rank": round(max_rhat_rank, 4),
+        "ess_per_s": round(min_ess_bulk / sample_s, 1),
         "divergences": tr.divergences(),
         "grad_evals_per_s": round(float(np.sum(np.asarray(
-            tr.stats.grad_evals))) / tr.walltime),
+            tr.stats.grad_evals))) / sample_s),
     }
+    return rec
 
 
 ALL = ["funnel_hmc", "readme_regression_nuts", "eight_schools_nuts",
-       "logistic_100k", "glmm_10k_latents"]
+       "ehmc_default", "logistic_100k", "glmm_10k_latents"]
 
 
 def main():
@@ -97,10 +141,18 @@ def main():
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    failed = []
     for name in (args.configs or ALL):
-        rec = run_config(name, args.chains)
+        try:
+            rec = run_config(name, args.chains)
+        except Exception as e:
+            failed.append(name)
+            rec = {"config": name, "error": str(e)[:200]}
         rec["device"] = str(jax.devices()[0])
         print(json.dumps(rec), flush=True)
+    if failed:
+        print(f"FAILED: {', '.join(failed)}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

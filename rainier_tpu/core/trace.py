@@ -93,6 +93,10 @@ class Trace:
         self.step_size = None if step_size is None else np.asarray(step_size)
         self.collect_idx = collect_idx
         self.walltime = walltime
+        #: per-phase wall-clock breakdown set by the driver:
+        #: build_s / compile_s / sample_s / transfer_s (scan path) or
+        #: build_s / warmup_s / sample_s / transfer_s (pallas path)
+        self.timings: Optional[dict] = None
 
     @staticmethod
     def from_result(model, compiled, result, config, collect_idx=None,

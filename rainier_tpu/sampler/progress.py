@@ -36,16 +36,46 @@ class SilentProgress(Progress):
     output_every_seconds = 1e100
 
 
+class WindowedRates:
+    """Recent-window telemetry between refreshes (the reference carries
+    statsWindow=100 ring buffers so long runs show *current* health,
+    Stats.scala:3-16; here the window is the refresh interval).  Feed it
+    the cumulative carried StatsState at each refresh; it differences
+    against the previous refresh to produce windowed accept rate and
+    grad-evals/s."""
+
+    def __init__(self):
+        self._prev = None           # (accept_sum, iters, grads, wall)
+
+    def update(self, stats):
+        now = time.time()
+        acc_sum = float(np.sum(np.asarray(stats.accept_sum)))
+        iters = float(np.sum(np.asarray(stats.iterations)))
+        grads = float(np.sum(np.asarray(stats.grad_evals)))
+        prev, self._prev = self._prev, (acc_sum, iters, grads, now)
+        if prev is None:
+            return None, None
+        d_acc = acc_sum - prev[0]
+        d_it = iters - prev[1]
+        d_gr = grads - prev[2]
+        dt = now - prev[3]
+        win_accept = d_acc / d_it if d_it > 0 else None
+        win_grad_rate = d_gr / dt if dt > 0 else None
+        return win_accept, win_grad_rate
+
+
 class ConsoleProgress(Progress):
     def __init__(self, out=sys.stderr):
         self.out = out
         self._last = 0.0
         self._n_chains = 0
         self._t0 = time.time()
+        self._window = WindowedRates()
 
     def start(self, n_chains: int) -> None:
         self._n_chains = n_chains
         self._t0 = time.time()
+        self._window = WindowedRates()
         print(f"sampling {n_chains} chains", file=self.out)
 
     def _line(self, message, iterations, total, stats, step_size):
@@ -60,8 +90,16 @@ class ConsoleProgress(Progress):
         dt = time.time() - self._t0
         if dt > 0:
             rate = f" grad evals/s {ge / dt:,.0f}"
+        win_acc, win_rate = self._window.update(stats)
+        win = ""
+        if win_acc is not None:
+            win = f"  [window: accept {win_acc:.2f}"
+            if win_rate is not None:
+                win += f", grad evals/s {win_rate:,.0f}"
+            win += "]"
         return (f"{message} {iterations}/{total}  accept {acc:.2f}  "
-                f"E-BFMI {b:.2f}  step {ss:.3g}  divergences {dv}{rate}")
+                f"E-BFMI {b:.2f}  step {ss:.3g}  divergences {dv}{rate}"
+                f"{win}")
 
     def refresh(self, message, iterations, total, stats, step_size) -> None:
         now = time.time()
@@ -91,6 +129,7 @@ class HTMLProgress(Progress):
         self._t0 = time.time()
         self._last = 0.0
         self._n_chains = 0
+        self._window = WindowedRates()
         try:
             from IPython.display import display, HTML  # noqa: F401
 
@@ -103,6 +142,7 @@ class HTMLProgress(Progress):
     def start(self, n_chains: int) -> None:
         self._n_chains = n_chains
         self._t0 = time.time()
+        self._window = WindowedRates()
         if self._display is None:
             self._fallback.start(n_chains)
 
@@ -123,7 +163,14 @@ class HTMLProgress(Progress):
         more = ("<tr><td colspan=5>… "
                 f"{len(acc) - n} more chains</td></tr>" if len(acc) > n
                 else "")
+        win_acc, win_rate = self._window.update(stats)
+        win = ""
+        if win_acc is not None:
+            win = f" — window: accept {win_acc:.2f}"
+            if win_rate is not None:
+                win += f", grad evals/s {win_rate:,.0f}"
         return (f"<div><b>{message}</b> {iterations}/{total} ({pct:.0f}%)"
+                f"{win}"
                 f"<table><tr><th>chain</th><th>accept</th><th>E-BFMI</th>"
                 f"<th>step</th><th>divergences</th></tr>{rows}{more}"
                 f"</table></div>")
