@@ -220,6 +220,79 @@ class CompiledDensity:
 
         return logp
 
+    def logp_lanes_split_fn(self):
+        """Base/row-term split of logp_lanes_fn for row-tiled kernel
+        evaluation: returns ``(base_fn, tile_fn)`` with
+
+        * ``base_fn(qb) -> (C,)`` — every column-free term: the prior
+          total plus any non-RowSum likelihood roots;
+        * ``tile_fn(qb, mask, cols_tile) -> (C,)`` — each RowSum
+          likelihood's *per-row child* evaluated on a row-slice of every
+          column, multiplied by ``mask`` ((R, 1) — 0 for padding rows)
+          and summed over the tile's rows,
+
+        so ``logp(qb, cols) == base_fn(qb) + Σ_tiles tile_fn(...)`` for
+        any tiling of the (mask-padded) rows — including RowSum children
+        that degenerate to row-independent values, which contribute
+        ``child · Σmask`` per tile (the driver still verifies the
+        identity numerically before enabling tiling).  Returns None when
+        the base terms reference columns (no clean split exists).
+
+        This is the TPU analogue of the reference's DataFunction row loop
+        over out-of-cache datasets (ir/DataFunction.scala:48-84): the
+        kernel streams row tiles through VMEM-sized activations instead
+        of materializing (n_rows, C) reverse-mode residuals."""
+        row_roots = [r.child for r in self.likelihoods
+                     if isinstance(r, R.RowSum)]
+        base_roots = [r for r in self.likelihoods
+                      if not isinstance(r, R.RowSum)] + [self._prior]
+        if find_columns(base_roots):
+            return None
+        layout = self.layout
+        columns = self.columns
+
+        def env_of(qb):
+            env = {}
+            for p, (a, b) in zip(layout.parameters, layout.slices):
+                env[p.id] = qb[a:b]
+            return env
+
+        def base_fn(qb):
+            backend = interp.jax_backend()
+            vals = interp.evaluate_lanes(base_roots, env_of(qb), backend,
+                                         qb.dtype)
+            C = qb.shape[1]
+            total = jnp.zeros((1, C), qb.dtype)
+            for v in vals:
+                if jnp.ndim(v) == 2 and v.shape[0] > 1:
+                    v = jnp.sum(v, axis=0, keepdims=True)
+                total = total + v
+            return total.reshape(C)
+
+        def tile_fn(qb, mask, cols_tile):
+            backend = interp.jax_backend()
+            env = env_of(qb)
+            for c, v in zip(columns, cols_tile):
+                if isinstance(c, (R.IntColumn, R.MatColumn)):
+                    env[c.id] = v
+                else:
+                    env[c.id] = v.reshape(-1, 1)
+            vals = interp.evaluate_lanes(row_roots, env, backend,
+                                         qb.dtype)
+            C = qb.shape[1]
+            total = jnp.zeros((1, C), qb.dtype)
+            for v in vals:
+                if jnp.ndim(v) == 2 and v.shape[0] > 1:
+                    total = total + jnp.sum(v * mask, axis=0,
+                                            keepdims=True)
+                else:
+                    # row-independent child: each (unmasked) row
+                    # contributes v once
+                    total = total + v * jnp.sum(mask)
+            return total.reshape(C)
+
+        return base_fn, tile_fn
+
     # -- convenience jitted entry points ---------------------------------
     # column values are runtime arguments (never baked into the cached
     # program), so data swapped via Column.swap_values / Model.with_data
@@ -258,13 +331,20 @@ def compile_outputs(parameters: Sequence[R.Real],
         return interp.evaluate(outs, env, backend, q.dtype)
 
     jitted = config.jit(raw)
+    jitted_v = config.jit(jax.vmap(raw, in_axes=(0, None)))
 
-    # column values are fetched per call (runtime args), so data swapped
-    # via Column.swap_values is visible without recompiling
-    def fn(q):
-        col_vals = tuple(
+    def _col_vals():
+        # fetched per call (runtime args), so data swapped via
+        # Column.swap_values is visible without recompiling
+        return tuple(
             jnp.asarray(c.values) if isinstance(c, R.IntColumn)
             else jnp.asarray(c.values, dtype=dtype) for c in columns)
-        return jitted(q, col_vals)
 
+    def fn(q):
+        return jitted(q, _col_vals())
+
+    # batched entry: config.jit may carry TPU compiler_options, which JAX
+    # rejects on nested jits — callers must not wrap `fn` in jax.jit/vmap
+    # themselves (Trace.evaluate batches over draws through this)
+    fn.vmapped = lambda qs: jitted_v(qs, _col_vals())
     return fn

@@ -183,7 +183,7 @@ class Trace:
 
         fn = compile_outputs(self.compiled.parameters, exprs)
         draws = jnp.asarray(self.flat())
-        vals = jax.jit(jax.vmap(fn))(draws)
+        vals = fn.vmapped(draws)
         out = [np.asarray(v) for v in vals]
         return out[0] if single else out
 

@@ -87,7 +87,8 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size, n_steps: int,
               n_iterations: int, seed: int, inv_mass_diag=None,
               collect_every: int = 0, block_chains: int = 512,
               interpret: bool = False, columns: Sequence = (),
-              host_rng: bool = False):
+              host_rng: bool = False, row_tile: int = 0,
+              prior_fn: Callable = None):
     """HMC with `n_steps` leapfrog steps × `n_iterations`, state resident
     in VMEM.
 
@@ -102,6 +103,16 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size, n_steps: int,
     columns: data arrays forwarded to lp_fn, VMEM-resident for the run.
     host_rng: precompute noise with jax.random (CPU-interpretable oracle)
     instead of the on-core PRNG.
+    row_tile: 0 → lp_fn sees all rows at once (reverse-mode residuals are
+    (n_rows, C) — fine for small data).  R > 0 → the density+gradient is
+    accumulated over n_rows/R row tiles: per tile, a forward+reverse pass
+    over an (R, C) slice of every column, so activation VMEM is O(R·C)
+    regardless of dataset size (the reference's DataFunction row loop,
+    ir/DataFunction.scala:48-84, recast as a tiled in-kernel reduction).
+    Requires prior_fn: with tiling, lp_fn(q, *cols_tile) must return ONLY
+    the likelihood partial sum for the tile, and prior_fn(q) -> (C,) the
+    column-free prior total (evaluated once per density call).
+    n_rows % R must be 0.
 
     Returns (final_q (dim, n_chains),
              samples (n_out, dim, n_chains) or None,
@@ -109,14 +120,63 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size, n_steps: int,
              divergences (n_chains,)).
     """
     dim, n_chains = q0.shape
+    q0 = jnp.asarray(q0, jnp.float32)
+    # lane padding: Mosaic requires 128-aligned lane slices (the collect
+    # DMA slices the output on the chain axis), so tiny chain counts are
+    # padded up to a full 128-lane tile — padded lanes replicate chain 0
+    # and are trimmed from every output
+    n_true_chains = n_chains
+    n_lanes = _round_up(n_chains, 128)
+    eps_arr = jnp.broadcast_to(
+        jnp.asarray(step_size, jnp.float32).reshape(-1), (n_chains,))
+    if n_lanes != n_chains:
+        pad = n_lanes - n_chains
+        q0 = jnp.concatenate(
+            [q0, jnp.broadcast_to(q0[:, :1], (dim, pad))], axis=1)
+        eps_arr = jnp.concatenate(
+            [eps_arr, jnp.broadcast_to(eps_arr[:1], (pad,))])
+        if inv_mass_diag is not None:
+            imd_ = jnp.asarray(inv_mass_diag, jnp.float32)
+            if imd_.ndim == 2:
+                inv_mass_diag = jnp.concatenate(
+                    [imd_, jnp.broadcast_to(imd_[:1], (pad, dim))], axis=0)
+        n_chains = n_lanes
+        block_chains = min(_round_up(block_chains, 128), n_lanes)
     assert n_chains % block_chains == 0, (n_chains, block_chains)
     grid = n_chains // block_chains
     dim_pad = _round_up(dim, 8)
     # per-lane ε travels as a (1, n_chains) VMEM input (scalar broadcast)
-    eps_lanes = jnp.broadcast_to(
-        jnp.asarray(step_size, jnp.float32).reshape(1, -1), (1, n_chains))
+    eps_lanes = eps_arr.reshape(1, -1)
 
     columns = tuple(jnp.asarray(c, jnp.float32) for c in columns)
+    n_rows = 0
+    if row_tile:
+        if prior_fn is None:
+            raise ValueError("row_tile requires prior_fn (lp_fn computes "
+                             "only the per-tile likelihood partial sum)")
+        if not columns:
+            raise ValueError("row_tile without columns is meaningless")
+        n_rows = int(columns[0].shape[0])
+        for c in columns:
+            if int(c.shape[0]) != n_rows:
+                raise ValueError("row_tile requires all columns to share "
+                                 f"axis 0 ({n_rows} vs {c.shape})")
+        # Mosaic needs statically-provable slice alignment: 1024 elements
+        # for 1-D (lane-major) columns, 8 sublanes for 2-D ones
+        align = 1024 if any(c.ndim == 1 for c in columns) else 8
+        if row_tile % align != 0:
+            raise ValueError(f"row_tile must be a multiple of {align} "
+                             "for these column shapes")
+        # pad rows to a multiple of row_tile by repeating row 0 (finite
+        # per-row terms guaranteed); the kernel masks padding rows out
+        n_pad_rows = _round_up(n_rows, row_tile)
+        if n_pad_rows != n_rows:
+            columns = tuple(
+                jnp.concatenate(
+                    [c, jnp.broadcast_to(c[0:1],
+                                         (n_pad_rows - n_rows,)
+                                         + c.shape[1:])], axis=0)
+                for c in columns)
     col_bytes = sum(4 * c.size for c in columns)
     if col_bytes > VMEM_COLUMN_BUDGET:
         raise ValueError(
@@ -124,7 +184,6 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size, n_steps: int,
             f"(budget {VMEM_COLUMN_BUDGET / 2**20:.0f} MiB); use the XLA "
             "scan path with mesh-sharded columns for datasets this large")
 
-    q0 = jnp.asarray(q0, jnp.float32)
     if inv_mass_diag is not None:
         imd = jnp.asarray(inv_mass_diag, jnp.float32)
         # normalize to (dim, n_chains): per-chain Σ̂ when 2-D
@@ -174,7 +233,8 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size, n_steps: int,
         # per-lane ε broadcast once to full state shape ((1, C) is fine as
         # a broadcast source, just not as a loop carry — see lp_pad note)
         eps = jnp.broadcast_to(eps_ref[0:1, :], (dim_pad, block_chains))
-        cols = tuple(r[...] for r in col_refs)
+        # tiled mode reads column refs per row-slice instead
+        cols = () if row_tile else tuple(r[...] for r in col_refs)
 
         def lp_pad(qp):
             # keep per-chain scalars rank-2 (1, C): Mosaic dislikes 1-D
@@ -187,9 +247,55 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size, n_steps: int,
             return jax.grad(
                 lambda qq: jnp.sum(lp_pad(qq)) / 8.0)(qp)
 
+        def lp_grad(qp):
+            """(lp (8,C), grad (dim_pad,C)) — one density+gradient.
+
+            Tiled mode accumulates per-row-tile forward+reverse passes so
+            reverse-mode residuals are (row_tile, C), not (n_rows, C);
+            each jax.grad sits *inside* the fori_loop body, so only one
+            tile's activations are ever live."""
+            if not row_tile:
+                return lp_pad(qp), grad_pad(qp)
+            n_tiles = columns[0].shape[0] // row_tile
+
+            def tile(t, acc):
+                lp_a, g_a = acc
+                # slice the VMEM column *refs* (Mosaic lowers pl.ds ref
+                # reads; dynamic_slice on materialized values it does not)
+                align = 1024 if any(r.ndim == 1 for r in col_refs) else 8
+                start = pl.multiple_of(t * row_tile, align)
+                cols_t = tuple(
+                    r[(pl.ds(start, row_tile),)
+                      + (slice(None),) * (r.ndim - 1)]
+                    for r in col_refs)
+                # mask out padding rows (tile rows ≥ true n_rows)
+                row_id = jax.lax.broadcasted_iota(
+                    jnp.int32, (row_tile, 1), 0) + t * row_tile
+                mask = (row_id < n_rows).astype(jnp.float32)
+
+                def f(qq):
+                    lp1 = lp_fn((qq * sc)[:dim], mask, *cols_t).reshape(
+                        1, block_chains)
+                    return jnp.sum(lp1), lp1
+
+                g_t, lp1 = jax.grad(f, has_aux=True)(qp)
+                return (lp_a + jnp.broadcast_to(lp1, (8, block_chains)),
+                        g_a + g_t)
+
+            lp8, g = jax.lax.fori_loop(
+                0, n_tiles, tile,
+                (jnp.zeros((8, block_chains), jnp.float32),
+                 jnp.zeros((dim_pad, block_chains), jnp.float32)))
+
+            def fp(qq):
+                lp1 = prior_fn((qq * sc)[:dim]).reshape(1, block_chains)
+                return jnp.sum(lp1), lp1
+
+            gp, lpp = jax.grad(fp, has_aux=True)(qp)
+            return lp8 + jnp.broadcast_to(lpp, (8, block_chains)), g + gp
+
         q = q_ref[:, :]
-        lp = lp_pad(q)
-        grad = grad_pad(q)
+        lp, grad = lp_grad(q)
 
         def iteration(it, carry):
             q, lp, grad, acc, div = carry
@@ -202,15 +308,13 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size, n_steps: int,
 
             p = p0 + 0.5 * eps * grad
             qn = q + eps * p
-            lpn = lp_pad(qn)
-            gn = grad_pad(qn)
+            lpn, gn = lp_grad(qn)
 
             def leap(_, c):
                 qn, p, lpn, gn = c
                 p = p + eps * gn
                 qn = qn + eps * p
-                lpn = lp_pad(qn)
-                gn = grad_pad(qn)
+                lpn, gn = lp_grad(qn)
                 return qn, p, lpn, gn
 
             qn, p, lpn, gn = jax.lax.fori_loop(0, n_steps - 1, leap,
@@ -324,4 +428,10 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size, n_steps: int,
         qf = qf * scale
         if samples is not None:
             samples = samples * scale[None]
+    if n_true_chains != n_chains:  # trim lane padding
+        qf = qf[:, :n_true_chains]
+        acc = acc[:n_true_chains]
+        div = div[:n_true_chains]
+        if samples is not None:
+            samples = samples[:, :, :n_true_chains]
     return qf, samples, acc, div

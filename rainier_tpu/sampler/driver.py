@@ -25,6 +25,7 @@ statistics and variance estimates across the chain axis via
 from __future__ import annotations
 
 import time as _time
+import warnings
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -287,7 +288,6 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
     warning and runs the scan path instead; 'pallas!' raises, for callers
     who need the kernel or nothing.
     """
-    import warnings
 
     from ..core.trace import Trace
 
@@ -413,20 +413,47 @@ def _pallas_unsupported_reason(model, cfg, n_chains, mesh):
         return (f"columns need {col_bytes / 2**20:.1f} MiB of VMEM "
                 f"(budget {VMEM_COLUMN_BUDGET / 2**20:.0f} MiB)")
     try:
-        _pallas_block_chains(n_chains, cd.n_vars, cols)
+        row_tile = _pallas_row_tile(cd, cols)
+        _pallas_block_chains(n_chains, cd.n_vars, cols, row_tile=row_tile)
     except ValueError as e:
         return str(e)
     return None
 
 
-def _pallas_block_chains(n_chains, n_vars, cols):
+# Row-tiled likelihood accumulation kicks in above this many observations:
+# below it, whole-dataset reverse-mode residuals ((n_rows, C) per buffer)
+# comfortably fit VMEM and the per-tile loop overhead isn't worth paying.
+ROW_TILE_MIN_ROWS = 8192
+ROW_TILE = 1024  # Mosaic alignment unit for 1-D VMEM column slices
+
+
+def _pallas_row_tile(cd, cols) -> int:
+    """0 (no tiling) or the row-tile size the kernel should accumulate
+    the likelihood over (the reference's DataFunction row loop,
+    ir/DataFunction.scala:48-84, as a tiled in-kernel reduction).
+
+    Tiling needs every column to share axis 0 and the density to split
+    cleanly into column-free base terms + RowSum row terms
+    (CompiledDensity.logp_lanes_split_fn)."""
+    if not cols:
+        return 0
+    n_rows = {int(c.shape[0]) for c in cols}
+    if len(n_rows) != 1 or max(n_rows) < ROW_TILE_MIN_ROWS:
+        return 0
+    if cd.logp_lanes_split_fn() is None:
+        return 0
+    return ROW_TILE
+
+
+def _pallas_block_chains(n_chains, n_vars, cols, row_tile=0):
     """Largest chain-block (lane) width whose VMEM footprint fits.
 
     The kernel holds, per chain lane: ~6 (dim_pad, C) state buffers plus —
     for data-conditioned models — per-observation activations of shape
-    (n_rows, C) for the forward pass AND the reverse-mode residuals
+    (act_rows, C) for the forward pass AND the reverse-mode residuals
     jax.grad keeps live (measured ~8 concurrent (n, C) buffers for the
-    logistic model).  Columns themselves are lane-independent.  Pick the
+    logistic model); with row tiling act_rows is the tile size, not the
+    dataset size.  Columns themselves are lane-independent.  Pick the
     widest C ∈ {512, 384, 256, 128, n_chains} that divides n_chains and
     fits the budget; below 128 lanes the VPU underfills, so small models
     always get ≥128 (or all chains if fewer)."""
@@ -434,9 +461,10 @@ def _pallas_block_chains(n_chains, n_vars, cols):
 
     col_bytes = sum(4 * int(np.prod(c.shape)) for c in cols)
     n_max = max((int(c.shape[0]) for c in cols), default=0)
+    act_rows = min(n_max, row_tile) if row_tile else n_max
     dim_pad = (n_vars + 7) // 8 * 8
     # ~6 state buffers + the per-lane mass-scale input (7 dim_pad-rows)
-    per_lane = 4 * (7 * dim_pad + 8 * n_max + 64)
+    per_lane = 4 * (7 * dim_pad + 8 * act_rows + 64)
     budget = int(VMEM_LIMIT * 0.75) - col_bytes
     candidates = [c for c in (512, 384, 256, 128) if n_chains % c == 0]
     candidates.append(n_chains)
@@ -447,6 +475,35 @@ def _pallas_block_chains(n_chains, n_vars, cols):
         "model data too large for the fused Pallas kernel's VMEM budget "
         f"(needs {per_lane * 128 / 2**20:.1f} MiB at 128 chains); use the "
         "default scan path (kernel='scan'), which shards data instead")
+
+
+def _verify_split(cd, cols, base_fn, tile_fn, row_tile) -> bool:
+    """Numerically check logp(qb, cols) == base(qb) + Σ_tiles tile(...) —
+    the identity row tiling relies on — before enabling tiling."""
+    n = int(cols[0].shape[0])
+    n_pad = -(-n // row_tile) * row_tile
+    pad_cols = tuple(
+        jnp.concatenate(
+            [c, jnp.broadcast_to(c[0:1], (n_pad - n,) + c.shape[1:])], 0)
+        if n_pad != n else c for c in cols)
+    n_tiles = n_pad // row_tile
+    masks = (np.arange(n_pad).reshape(n_tiles, row_tile, 1)
+             < n).astype(np.float32)
+    tiled = tuple(c.reshape((n_tiles, row_tile) + c.shape[1:])
+                  for c in pad_cols)
+    qb = jax.random.normal(jax.random.PRNGKey(0), (cd.n_vars, 8),
+                           jnp.float32) * 0.5
+
+    @global_config.jit
+    def total_fn(qb, masks, *tc):
+        per_tile = jax.vmap(lambda m, *c: tile_fn(qb, m, c))(masks, *tc)
+        return base_fn(qb) + jnp.sum(per_tile, axis=0)
+
+    got = np.asarray(total_fn(qb, jnp.asarray(masks), *tiled))
+    ref = np.asarray(cd.logp_lanes_fn()(qb, cols))
+    scale = 1.0 + float(np.max(np.abs(ref)))
+    return bool(np.all(np.isfinite(got))
+                and np.allclose(got, ref, rtol=1e-4, atol=1e-4 * scale))
 
 
 def _pallas_sample(model, cfg: C.SamplerConfig, n_chains, seed,
@@ -513,16 +570,38 @@ def _pallas_sample(model, cfg: C.SamplerConfig, n_chains, seed,
     thin = max(cfg.thin, 1)
     n_out = cfg.iterations // thin
     q0 = wp.chain.q.T  # (n_vars, n_chains)
-    block = _pallas_block_chains(n_chains, cd.n_vars, cols)
 
-    lp_lanes = cd.logp_lanes_fn()
+    # large datasets: accumulate the likelihood over row tiles so
+    # reverse-mode residuals are (ROW_TILE, C) not (n_rows, C) — the
+    # reference's DataFunction row loop (ir/DataFunction.scala:48-84)
+    # recast as an in-kernel tiled reduction; verified numerically
+    # against the untiled density before use
+    row_tile = _pallas_row_tile(cd, cols)
+    prior_fn = None
+    if row_tile:
+        base_fn, tile_fn = cd.logp_lanes_split_fn()
+        if _verify_split(cd, cols, base_fn, tile_fn, row_tile):
+            prior_fn = base_fn
 
-    def lp_block(qb, *cols_in):
-        # (n_vars, C) block -> (C,) in the kernel's chains-on-lanes
-        # layout (interp.evaluate_lanes): transpose-free Mosaic lowering,
-        # MatVec as a direct (n,p)@(p,C) MXU matmul (jax.vmap batching
-        # emits bool transposes / batched dot_generals Mosaic rejects)
-        return lp_lanes(qb, cols_in)
+            def lp_block(qb, mask, *cols_in):
+                return tile_fn(qb, mask, cols_in)
+        else:  # pragma: no cover - defensive: split identity failed
+            warnings.warn("row-tiled density split failed numeric "
+                          "verification; sampling untiled")
+            row_tile = 0
+    block = _pallas_block_chains(n_chains, cd.n_vars, cols,
+                                 row_tile=row_tile)
+
+    if not row_tile:
+        lp_lanes = cd.logp_lanes_fn()
+
+        def lp_block(qb, *cols_in):
+            # (n_vars, C) block -> (C,) in the kernel's chains-on-lanes
+            # layout (interp.evaluate_lanes): transpose-free Mosaic
+            # lowering, MatVec as a direct (n,p)@(p,C) MXU matmul
+            # (jax.vmap batching emits bool transposes / batched
+            # dot_generals Mosaic rejects)
+            return lp_lanes(qb, cols_in)
 
     # off-TPU the kernel runs interpreted with host-precomputed RNG —
     # same code path, CI-checkable; on TPU it compiles with the on-core
@@ -534,7 +613,8 @@ def _pallas_sample(model, cfg: C.SamplerConfig, n_chains, seed,
         n_iterations=cfg.iterations, seed=seed + 1,
         inv_mass_diag=inv_mass_diag, collect_every=thin,
         block_chains=block, columns=cols,
-        interpret=not on_tpu, host_rng=not on_tpu)
+        interpret=not on_tpu, host_rng=not on_tpu,
+        row_tile=row_tile, prior_fn=prior_fn)
     jax.block_until_ready(samples)
     timings["sample_s"] = _time.perf_counter() - t_kernel
     walltime = _time.perf_counter() - t0

@@ -52,7 +52,7 @@ class VariationalPosterior(NamedTuple):
         outs = [exprs] if single else list(exprs)
         fn = compile_outputs(self.compiled.parameters, outs)
         draws = jnp.asarray(self.sample(n_draws, seed))
-        vals = jax.jit(jax.vmap(fn))(draws)
+        vals = fn.vmapped(draws)
         vals = [np.asarray(v) for v in vals]
         return vals[0] if single else vals
 

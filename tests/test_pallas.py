@@ -105,6 +105,83 @@ def test_fused_hmc_vmem_budget_guard():
                   columns=(big, big), **CI_KW)
 
 
+def test_fused_hmc_row_tiled_matches_untiled():
+    """row_tile: the tiled density+gradient accumulation (the reference's
+    DataFunction row loop, ir/DataFunction.scala:48-84, as an in-kernel
+    reduction) must reproduce the untiled kernel's trajectories up to f32
+    summation-reorder noise — n deliberately not a multiple of the tile
+    so the padding/mask path is exercised."""
+    rng = np.random.default_rng(0)
+    n, p, C = 1500, 3, 128
+    X = rng.normal(size=(n, p)).astype(np.float32)
+    true_b = np.array([1.0, -0.5, 0.25], np.float32)
+    ys = (rng.uniform(size=n) <
+          1 / (1 + np.exp(-(X @ true_b)))).astype(np.float32)
+
+    def lp_full(q, Xc, yc):
+        lin = Xc @ q
+        ll = yc[:, None] * lin - jax.nn.softplus(lin)
+        return jnp.sum(ll, axis=0) - 0.5 * jnp.sum(q * q, axis=0) / 25.0
+
+    def lp_tile(q, mask, Xc, yc):
+        lin = Xc @ q
+        ll = yc[:, None] * lin - jax.nn.softplus(lin)
+        return jnp.sum(ll * mask, axis=0)
+
+    def prior(q):
+        return -0.5 * jnp.sum(q * q, axis=0) / 25.0
+
+    q0 = jnp.zeros((p, C))
+    kw = dict(step_size=0.06, n_steps=5, n_iterations=40, seed=0,
+              collect_every=1, block_chains=C, **CI_KW)
+    qf0, s0, a0, d0 = fused_hmc(lp_full, q0, columns=(X, ys), **kw)
+    qf1, s1, a1, d1 = fused_hmc(lp_tile, q0, columns=(X, ys),
+                                row_tile=1024, prior_fn=prior, **kw)
+    # identical accept decisions short-run: trajectories track closely
+    assert float(jnp.max(jnp.abs(qf0 - qf1))) < 1e-3
+    assert float(jnp.max(jnp.abs(a0 - a1))) < 0.05
+    assert float(jnp.sum(d1)) == 0.0
+
+
+def test_driver_row_tiled_pallas_matches_scan(monkeypatch):
+    """Model.sample(kernel='pallas!') with tiling forced on a mid-size
+    dataset: the split (CompiledDensity.logp_lanes_split_fn) passes its
+    numeric verification and the tiled kernel's moments match the scan
+    path."""
+    from rainier_tpu.sampler import driver as drv
+
+    monkeypatch.setattr(drv, "ROW_TILE_MIN_ROWS", 1024)
+    rng = np.random.default_rng(3)
+    data = rng.normal(1.5, 2.0, size=2500)
+    mu = rt.Normal(0, 10).latent()
+    sigma = rt.Exponential(0.5).latent()
+    model = rt.Model.observe(list(data), rt.Normal(mu, sigma))
+    cfg = SamplerConfig(warmup_iterations=300, iterations=400,
+                        sampler=HMC(8))
+    tr_scan = model.sample(cfg, n_chains=8, seed=0)
+    tr_pal = model.sample(cfg, n_chains=8, seed=0, kernel="pallas!")
+    for expr in (mu, sigma):
+        assert abs(tr_scan.mean(expr) - tr_pal.mean(expr)) < 0.15
+    assert float(np.mean(tr_pal.accept_rate())) > 0.5
+
+
+def test_fused_hmc_lane_padding_small_chain_count():
+    """n_chains < 128: lanes are padded to a full 128-lane tile inside
+    the kernel (Mosaic needs 128-aligned lane slices for the collect DMA)
+    and trimmed from every output."""
+    q0 = jnp.zeros((3, 8))
+    eps = np.full((8,), 0.7, np.float32)
+    qf, samples, acc, div = fused_hmc(
+        _std_normal, q0, step_size=eps, n_steps=5, n_iterations=300,
+        seed=0, collect_every=1, block_chains=8, **CI_KW)
+    assert qf.shape == (3, 8)
+    assert samples.shape == (300, 3, 8)
+    assert acc.shape == (8,) and div.shape == (8,)
+    s = np.asarray(samples)[100:]
+    assert abs(float(s.mean())) < 0.2
+    assert abs(float(s.std()) - 1.0) < 0.2
+
+
 def test_driver_pallas_kernel_matches_scan_path():
     """Model.sample(kernel='pallas'): scan-path warmup feeds the fused
     kernel; posterior moments must match the scan path within MC error
