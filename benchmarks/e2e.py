@@ -138,9 +138,29 @@ def main():
     ap.add_argument("configs", nargs="*", default=[])
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--chains", type=int, default=1024)
+    ap.add_argument("--fresh", action="store_true",
+                    help="one subprocess per config (compile-service "
+                    "isolation; docs/internals.md)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.fresh:
+        import subprocess
+        failed = []
+        for name in (args.configs or ALL):
+            cmd = [sys.executable, os.path.abspath(__file__), name,
+                   "--chains", str(args.chains)]
+            if args.cpu:
+                cmd.append("--cpu")
+            rc = subprocess.run(cmd, check=False).returncode
+            if rc != 0:
+                failed.append(name)
+                print(json.dumps({"config": name, "error":
+                                  f"subprocess exited {rc}"}), flush=True)
+        if failed:
+            print(f"FAILED: {', '.join(failed)}", file=sys.stderr)
+            sys.exit(1)
+        return
     failed = []
     for name in (args.configs or ALL):
         try:
