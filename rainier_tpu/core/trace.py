@@ -28,6 +28,38 @@ class Diagnostics(NamedTuple):
     effective_sample_size: float
 
 
+def _variogram(chains: np.ndarray, max_lag: int) -> np.ndarray:
+    """(max_lag, k) variogram Var_t(l) = Σ_{m,t} (x_{t+l} − x_t)² /
+    (m·(n−l)) — the Stan-manual estimator, computed from lagged cross
+    products instead of one full O(m·n·k) pass per lag (identical
+    values: Σ(x_{t+l}−x_t)² = head(l) + tail(l) − 2·Σ x_t·x_{t+l}).
+    The cross terms for all lags at once are a batched (1, n)·(n, L+1)
+    matmul over a zero-padded sliding-window view — BLAS, one data pass.
+    100 lags over (1024, 10k, 10) drop from minutes to seconds."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    m, n, k = chains.shape
+    ls = np.arange(1, max_lag + 1)
+    cross = np.zeros((max_lag, k))
+    head = np.zeros((max_lag, k))
+    tail = np.zeros((max_lag, k))
+    # chunk chains to bound the workspace; time on the last (contiguous)
+    # axis.  Cross products accumulate in the chains' own precision — the
+    # per-lag-loop estimator this replaces did too
+    chunk = max(1, int(16e6) // (n * k))
+    for a in range(0, m, chunk):
+        x = np.ascontiguousarray(np.swapaxes(chains[a:a + chunk], 1, 2))
+        xp = np.concatenate(
+            [x, np.zeros(x.shape[:-1] + (max_lag,), x.dtype)], axis=-1)
+        xw = sliding_window_view(xp, max_lag + 1, axis=-1)  # (mc,k,n,L+1)
+        cp = np.matmul(x[..., None, :], xw)           # (mc, k, 1, L+1)
+        cross += cp[..., 0, 1:].sum(axis=0).T         # Σ_t x_t·x_{t+l}
+        c = np.cumsum(np.square(x, dtype=np.float64), axis=-1)
+        head += c[..., n - ls - 1].sum(axis=0).T      # Σ_{t<n−l} x²_t
+        tail += (c[..., -1][..., None] - c[..., ls - 1]).sum(axis=0).T
+    return (head + tail - 2.0 * cross) / (m * (n - ls)[:, None])
+
+
 def _diagnostics_all(chains: np.ndarray, max_lag: int = 100):
     """chains: (m, n, k) → per-parameter (r_hat, ess), Stan manual
     §30.3/30.4 (Trace.scala:61-120)."""
@@ -41,11 +73,8 @@ def _diagnostics_all(chains: np.ndarray, max_lag: int = 100):
     r_hat = np.sqrt(v / np.maximum(w, 1e-300))
 
     max_lag = min(max_lag, n - 1)
-    pts = np.empty((max_lag, k))
-    for lag in range(1, max_lag + 1):
-        d = chains[:, lag:, :] - chains[:, :-lag, :]
-        vt = (d ** 2).sum(axis=1).mean(axis=0) / (n - lag)
-        pts[lag - 1] = 1.0 - vt / (2.0 * np.maximum(v, 1e-300))
+    vt = _variogram(chains, max_lag)
+    pts = 1.0 - vt / (2.0 * np.maximum(v, 1e-300))
     # accumulate while pt > 0 (reference's early-termination criterion)
     alive = np.cumprod(pts > 0.0, axis=0).astype(bool)
     ac = (pts * alive).sum(axis=0)

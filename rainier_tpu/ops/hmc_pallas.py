@@ -88,7 +88,7 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size, n_steps: int,
               collect_every: int = 0, block_chains: int = 512,
               interpret: bool = False, columns: Sequence = (),
               host_rng: bool = False, row_tile: int = 0,
-              prior_fn: Callable = None):
+              prior_fn: Callable = None, stream_columns: bool = None):
     """HMC with `n_steps` leapfrog steps × `n_iterations`, state resident
     in VMEM.
 
@@ -112,7 +112,13 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size, n_steps: int,
     Requires prior_fn: with tiling, lp_fn(q, *cols_tile) must return ONLY
     the likelihood partial sum for the tile, and prior_fn(q) -> (C,) the
     column-free prior total (evaluated once per density call).
-    n_rows % R must be 0.
+    stream_columns: None (auto: stream iff tiled AND columns exceed the
+    VMEM budget) / True / False.  Streamed columns stay in HBM and each
+    row tile is DMAed into a double-buffered VMEM scratch slot — the next
+    tile's fetch overlaps the current tile's compute — so dataset size is
+    bounded by HBM, not VMEM (the full TPU equivalent of the reference's
+    out-of-cache DataFunction row loop, ir/DataFunction.scala:48-84).
+    Requires row_tile.
 
     Returns (final_q (dim, n_chains),
              samples (n_out, dim, n_chains) or None,
@@ -178,11 +184,17 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size, n_steps: int,
                                          + c.shape[1:])], axis=0)
                 for c in columns)
     col_bytes = sum(4 * c.size for c in columns)
-    if col_bytes > VMEM_COLUMN_BUDGET:
+    if stream_columns is None:
+        stream_columns = bool(row_tile) and col_bytes > VMEM_COLUMN_BUDGET
+    if stream_columns and not row_tile:
+        raise ValueError("stream_columns requires row_tile (tiles are "
+                         "the DMA unit)")
+    if col_bytes > VMEM_COLUMN_BUDGET and not stream_columns:
         raise ValueError(
             f"columns need {col_bytes / 2**20:.1f} MiB of VMEM "
-            f"(budget {VMEM_COLUMN_BUDGET / 2**20:.0f} MiB); use the XLA "
-            "scan path with mesh-sharded columns for datasets this large")
+            f"(budget {VMEM_COLUMN_BUDGET / 2**20:.0f} MiB); use "
+            "row_tile (streams tiles from HBM) or the XLA scan path "
+            "with mesh-sharded columns")
 
     if inv_mass_diag is not None:
         imd = jnp.asarray(inv_mass_diag, jnp.float32)
@@ -224,8 +236,14 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size, n_steps: int,
             p_ref, u_ref = rest[:2]
             rest = rest[2:]
         qout_ref, acc_ref, div_ref = rest[:3]
+        rest = rest[3:]
         if collect_every:
-            samples_hbm, scratch, sem = rest[3:]
+            samples_hbm = rest[0]
+            scratch, sem = rest[1:3]
+            rest = rest[3:]
+        if stream_columns:
+            col_bufs = rest[:n_cols]
+            stream_sem = rest[n_cols]
         block = pl.program_id(0)
         if not host_rng:
             pltpu.prng_seed(seed_ref[0] + block * 7919)
@@ -257,17 +275,48 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size, n_steps: int,
             if not row_tile:
                 return lp_pad(qp), grad_pad(qp)
             n_tiles = columns[0].shape[0] // row_tile
+            align = 1024 if any(r.ndim == 1 for r in col_refs) else 8
+
+            def _tile_src(r, t):
+                start = pl.multiple_of(t * row_tile, align)
+                return r.at[(pl.ds(start, row_tile),)
+                            + (slice(None),) * (r.ndim - 1)]
+
+            def _dmas(slot, t):
+                # one async copy per column: HBM row slice → buffer slot.
+                # 1-D columns buffer as (2, 1, R) so `slot` is a plain
+                # batch offset, never a dynamic sublane index
+                return [pltpu.make_async_copy(
+                            _tile_src(r, t),
+                            b.at[slot, 0] if r.ndim == 1 else b.at[slot],
+                            stream_sem.at[slot, j])
+                        for j, (r, b) in enumerate(zip(col_refs,
+                                                       col_bufs))]
+
+            if stream_columns:
+                for d in _dmas(0, 0):   # warm-up: prefetch tile 0
+                    d.start()
 
             def tile(t, acc):
                 lp_a, g_a = acc
-                # slice the VMEM column *refs* (Mosaic lowers pl.ds ref
-                # reads; dynamic_slice on materialized values it does not)
-                align = 1024 if any(r.ndim == 1 for r in col_refs) else 8
-                start = pl.multiple_of(t * row_tile, align)
-                cols_t = tuple(
-                    r[(pl.ds(start, row_tile),)
-                      + (slice(None),) * (r.ndim - 1)]
-                    for r in col_refs)
+                if stream_columns:
+                    slot = jax.lax.rem(t, 2)
+
+                    @pl.when(t + 1 < n_tiles)
+                    def _():  # overlap: fetch tile t+1 during compute
+                        for d in _dmas(jax.lax.rem(t + 1, 2), t + 1):
+                            d.start()
+
+                    for d in _dmas(slot, t):
+                        d.wait()
+                    cols_t = tuple(
+                        b[slot, 0] if r.ndim == 1 else b[slot]
+                        for r, b in zip(col_refs, col_bufs))
+                else:
+                    # slice the VMEM column *refs* (Mosaic lowers pl.ds
+                    # ref reads; dynamic_slice on materialized values it
+                    # does not)
+                    cols_t = tuple(_tile_src(r, t)[...] for r in col_refs)
                 # mask out padding rows (tile rows ≥ true n_rows)
                 row_id = jax.lax.broadcasted_iota(
                     jnp.int32, (row_tile, 1), 0) + t * row_tile
@@ -395,10 +444,20 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size, n_steps: int,
                      memory_space=pltpu.VMEM),
     ]
     for c in columns:
-        # full array, every block sees all rows (index_map pins block 0)
-        in_specs.append(pl.BlockSpec(
-            c.shape, (lambda *_, nd=c.ndim: (0,) * nd),
-            memory_space=pltpu.VMEM))
+        if stream_columns:
+            # stays in HBM; row tiles are DMAed into VMEM double buffers
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        else:
+            # full array, every block sees all rows (index_map pins 0)
+            in_specs.append(pl.BlockSpec(
+                c.shape, (lambda *_, nd=c.ndim: (0,) * nd),
+                memory_space=pltpu.VMEM))
+    if stream_columns:
+        for c in columns:
+            buf = (2, 1, row_tile) if c.ndim == 1 \
+                else (2, row_tile) + tuple(c.shape[1:])
+            scratch_shapes.append(pltpu.VMEM(buf, jnp.float32))
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((2, n_cols)))
     if host_rng:
         in_specs.append(pl.BlockSpec(
             (n_iterations, dim_pad, block_chains), lambda i: (0, 0, i),

@@ -48,6 +48,18 @@ from .stats import StatsState, stats_init, stats_update
 CHAIN_AXIS = "chains"
 
 
+def _device_sync(x):
+    """Force completion of the program producing `x`.
+
+    jax.block_until_ready is unreliable on remote-device platforms (the
+    'axon' tunnel acks enqueue, not completion), which silently shifted
+    sample-phase time into the transfer/diagnostics phases of committed
+    benchmarks.  A one-element device→host readback is dependency-ordered
+    and cannot return early."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
+
+
 class WarmupProduct(NamedTuple):
     """Everything sampling needs; serializable for resume."""
 
@@ -367,7 +379,7 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
 
         t_run = _time.perf_counter()
         result: ChainResult = executable(keys, cols)
-        jax.block_until_ready(result.samples)
+        _device_sync(result.samples)
         if jax.process_count() > 1:
             # multi-host run: result shards live on other hosts' devices;
             # all-gather so every process holds the full trace (Trace is
@@ -547,7 +559,7 @@ def _pallas_sample(model, cfg: C.SamplerConfig, n_chains, seed,
                         cfg.pooled_adaptation),
         axis_name=CHAIN_AXIS))
     wp: WarmupProduct = warm(keys)
-    jax.block_until_ready(wp.step_size)
+    _device_sync(wp.step_size)
     timings["warmup_s"] = _time.perf_counter() - t0
     if progress is not None:
         progress.refresh("warmup complete", cfg.warmup_iterations,
@@ -615,7 +627,7 @@ def _pallas_sample(model, cfg: C.SamplerConfig, n_chains, seed,
         block_chains=block, columns=cols,
         interpret=not on_tpu, host_rng=not on_tpu,
         row_tile=row_tile, prior_fn=prior_fn)
-    jax.block_until_ready(samples)
+    _device_sync(samples)
     timings["sample_s"] = _time.perf_counter() - t_kernel
     walltime = _time.perf_counter() - t0
 
@@ -657,7 +669,7 @@ def _chunked_sample(lpg, n_vars, cfg, dtype, keys, collect_idx, sharding,
     warm = global_config.jit(warm, in_shardings=sharding) \
         if sharding is not None else global_config.jit(warm)
     wp: WarmupProduct = warm(keys)
-    jax.block_until_ready(wp.step_size)
+    _device_sync(wp.step_size)
     progress.refresh("warmup complete", cfg.warmup_iterations,
                      cfg.warmup_iterations, wp.warmup_stats, wp.step_size)
 
@@ -674,7 +686,7 @@ def _chunked_sample(lpg, n_vars, cfg, dtype, keys, collect_idx, sharding,
     done = 0
     while done < n_out:
         carry, samples = sfn(carry, wp.mass, wp.step_size)
-        jax.block_until_ready(samples)
+        _device_sync(samples)
         pieces.append(np.asarray(samples))
         done += chunk
         progress.refresh("sampling", min(done, n_out) * max(cfg.thin, 1),

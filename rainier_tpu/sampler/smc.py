@@ -272,7 +272,8 @@ def smc(model, cfg: Optional[SMCConfig] = None, seed: int = 0,
                        sharding=sharding)
 
     result: SMCResult = global_config.jit(run)(cols)
-    jax.block_until_ready(result.particles)
+    from .driver import _device_sync
+    _device_sync(result.particles)
 
     # 4 pseudo-chains so cross-chain diagnostics are defined
     n_pseudo = 4 if cfg.n_particles % 4 == 0 else 1

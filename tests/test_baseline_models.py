@@ -128,6 +128,27 @@ def test_diagnostics_golden():
     assert e2[0] > 1200
 
 
+def test_variogram_matches_per_lag_loop():
+    """The batched sliding-window-matmul variogram (trace._variogram)
+    must reproduce the naive per-lag estimator it replaced exactly —
+    autocorrelated chains, n not a power of two, f32 input."""
+    from rainier_tpu.core.trace import _variogram
+
+    rng = np.random.default_rng(7)
+    m, n, k = 6, 333, 4
+    x = np.zeros((m, n, k), np.float32)
+    for t in range(1, n):
+        x[:, t] = (0.8 * x[:, t - 1]
+                   + rng.normal(size=(m, k)).astype(np.float32))
+    max_lag = 100
+    got = _variogram(x, max_lag)
+    want = np.empty((max_lag, k))
+    for lag in range(1, max_lag + 1):
+        d = x[:, lag:, :] - x[:, :-lag, :]
+        want[lag - 1] = (d ** 2).sum(axis=1).mean(axis=0) / (n - lag)
+    np.testing.assert_allclose(got, want, rtol=5e-5)
+
+
 def test_nuts_converges_on_concentrated_posterior():
     """Overdispersed q0 ~ N(0,1) starts ~100 posterior SDs from a sharp
     GLM posterior (n=10k); NUTS's doubling trajectories make the trek
