@@ -143,6 +143,37 @@ def test_fused_hmc_row_tiled_matches_untiled():
     assert float(jnp.sum(d1)) == 0.0
 
 
+def test_fused_hmc_streamed_columns_match_vmem_tiled():
+    """stream_columns: HBM-resident columns DMAed per row tile into
+    double-buffered VMEM scratch must be bit-identical to the
+    VMEM-resident tiled path (same trajectories, same accept decisions) —
+    the out-of-VMEM dataset path (ir/DataFunction.scala:48-84)."""
+    rng = np.random.default_rng(0)
+    n, p, C = 1500, 3, 128
+    X = rng.normal(size=(n, p)).astype(np.float32)
+    true_b = np.array([1.0, -0.5, 0.25], np.float32)
+    ys = (rng.uniform(size=n) <
+          1 / (1 + np.exp(-(X @ true_b)))).astype(np.float32)
+
+    def lp_tile(q, mask, Xc, yc):
+        lin = Xc @ q
+        ll = yc[:, None] * lin - jax.nn.softplus(lin)
+        return jnp.sum(ll * mask, axis=0)
+
+    def prior(q):
+        return -0.5 * jnp.sum(q * q, axis=0) / 25.0
+
+    q0 = jnp.zeros((p, C))
+    kw = dict(step_size=0.06, n_steps=5, n_iterations=40, seed=0,
+              collect_every=1, block_chains=C, row_tile=1024,
+              prior_fn=prior, columns=(X, ys), **CI_KW)
+    qf0, s0, a0, _ = fused_hmc(lp_tile, q0, stream_columns=False, **kw)
+    qf1, s1, a1, _ = fused_hmc(lp_tile, q0, stream_columns=True, **kw)
+    assert bool(jnp.all(qf0 == qf1))
+    assert bool(jnp.all(s0 == s1))
+    assert bool(jnp.all(a0 == a1))
+
+
 def test_driver_row_tiled_pallas_matches_scan(monkeypatch):
     """Model.sample(kernel='pallas!') with tiling forced on a mid-size
     dataset: the split (CompiledDensity.logp_lanes_split_fn) passes its
