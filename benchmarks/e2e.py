@@ -81,8 +81,15 @@ def run_config(name, n_chains_default):
     else:
         raise KeyError(name)
 
+    # this config's single fused program runs for minutes on-device; the
+    # remote TPU runtime kills workers on very long single programs, so
+    # run warmup/sampling as ~100-iteration chunk programs
+    # (docs/internals.md "Synchronization over the remote TPU service")
+    chunk = 100 if name == "glmm_10k_latents" else None
+
     t0 = time.perf_counter()
-    tr = model.sample(cfg, n_chains=chains, seed=0, collect_idx=collect)
+    tr = model.sample(cfg, n_chains=chains, seed=0, collect_idx=collect,
+                      chunk_iters=chunk)
     t1 = time.perf_counter()
     draws = chains * tr.n_iterations
     try:

@@ -113,10 +113,18 @@ def _initial_mass(mass_cfg, n_vars: int, dtype) -> MassState:
     return identity_mass()
 
 
-def build_warmup_fn(lpg, n_vars: int, cfg: C.SamplerConfig, dtype,
-                    pooled: bool = False):
-    """Returns warmup_fn(key) -> WarmupProduct (per chain; vmap it).
-    `lpg` is a unary q -> (logp, grad) closure."""
+def build_warmup_pieces(lpg, n_vars: int, cfg: C.SamplerConfig, dtype,
+                        pooled: bool = False):
+    """Warmup decomposed into separately-jittable pieces (all per chain —
+    vmap them): ``init_fn(key) -> carry``, ``segment_fn(carry, masks) ->
+    carry`` (scans any contiguous slice of the adaptation schedule),
+    ``finish_fn(carry) -> WarmupProduct``, plus the full
+    ``(update_mask, close_mask)`` schedule to slice.
+
+    Segmenting exists so the driver can bound single-program device time:
+    the remote TPU runtime kills workers on very long single programs
+    (docs/internals.md), and chunked warmup also enables live Progress
+    during adaptation."""
     adaptive_step = isinstance(cfg.step_size, C.DualAvgStepSize)
     delta = cfg.step_size.delta if adaptive_step else 0.8
     kind = _mass_kind(cfg.mass_matrix)
@@ -136,7 +144,7 @@ def build_warmup_fn(lpg, n_vars: int, cfg: C.SamplerConfig, dtype,
         return jnp.log(jnp.maximum(
             jax.lax.pmean(jnp.exp(la), CHAIN_AXIS), 1e-30))
 
-    def warmup_fn(key) -> WarmupProduct:
+    def init_fn(key):
         # overdispersed per-chain starts: q0 ~ N(0, init_scale²·I),
         # matching the reference (LeapFrog.scala:102-110 fills the q slots
         # with rng.standardNormal before warmup).  A draw landing where
@@ -176,49 +184,65 @@ def build_warmup_fn(lpg, n_vars: int, cfg: C.SamplerConfig, dtype,
         extra0 = samplers.init_extra(cfg.sampler, n_vars, dtype)
         e0 = chain0.potential + kinetic(mass0, p_init)
         wstats0 = stats_init(dtype, e0)
+        return (key, chain0, da0, welford0, mass0, extra0, wstats0)
 
-        def warm_step(carry, x):
-            key, chain, da, welford, mass, extra, stats = carry
-            update_f, close_f = x
-            key, k = jax.random.split(key)
-            eps = current_step_size(da) if adaptive_step else \
-                jnp.asarray(cfg.step_size.step_size, dtype)
-            res, extra, n_grads = samplers.step(
-                cfg.sampler, k, chain, eps, mass, extra, lpg, warmup=True)
-            if adaptive_step:
-                da = dual_avg_update(da, pool_accept(res.log_accept),
-                                     delta)
-            if tuned_mass:
-                w2 = welford_update(welford, res.state.q)
-                welford = jax.tree.map(
-                    partial(jnp.where, update_f), w2, welford)
+    def warm_step(carry, x):
+        key, chain, da, welford, mass, extra, stats = carry
+        update_f, close_f = x
+        key, k = jax.random.split(key)
+        eps = current_step_size(da) if adaptive_step else \
+            jnp.asarray(cfg.step_size.step_size, dtype)
+        res, extra, n_grads = samplers.step(
+            cfg.sampler, k, chain, eps, mass, extra, lpg, warmup=True)
+        if adaptive_step:
+            da = dual_avg_update(da, pool_accept(res.log_accept),
+                                 delta)
+        if tuned_mass:
+            w2 = welford_update(welford, res.state.q)
+            welford = jax.tree.map(
+                partial(jnp.where, update_f), w2, welford)
 
-                def do_close(ops):
-                    w, d, m = ops
-                    if pooled:
-                        w = jax.tree.map(
-                            lambda a: jax.lax.pmean(a, CHAIN_AXIS), w)
-                    new_mass = mass_from_welford(w, kind)
-                    new_da = dual_avg_reset(d) if adaptive_step else d
-                    return (welford_init(n_vars, dtype,
-                                         dense=(kind == "dense")),
-                            new_da, new_mass)
+            def do_close(ops):
+                w, d, m = ops
+                if pooled:
+                    w = jax.tree.map(
+                        lambda a: jax.lax.pmean(a, CHAIN_AXIS), w)
+                new_mass = mass_from_welford(w, kind)
+                new_da = dual_avg_reset(d) if adaptive_step else d
+                return (welford_init(n_vars, dtype,
+                                     dense=(kind == "dense")),
+                        new_da, new_mass)
 
-                welford, da, mass = jax.lax.cond(
-                    close_f, do_close, lambda ops: ops,
-                    (welford, da, mass))
-            stats = stats_update(stats, res.log_accept, res.divergent,
-                                 res.energy, n_grads)
-            return (key, res.state, da, welford, mass, extra, stats), None
+            welford, da, mass = jax.lax.cond(
+                close_f, do_close, lambda ops: ops,
+                (welford, da, mass))
+        stats = stats_update(stats, res.log_accept, res.divergent,
+                             res.energy, n_grads)
+        return (key, res.state, da, welford, mass, extra, stats), None
 
-        carry0 = (key, chain0, da0, welford0, mass0, extra0, wstats0)
-        (key, chain, da, welford, mass, extra, wstats), _ = jax.lax.scan(
-            warm_step, carry0, (update_mask, close_mask))
+    def segment_fn(carry, masks):
+        carry, _ = jax.lax.scan(warm_step, carry, masks)
+        return carry
 
+    def finish_fn(carry) -> WarmupProduct:
+        key, chain, da, welford, mass, extra, wstats = carry
         eps_final = final_step_size(da) if adaptive_step else \
             jnp.asarray(cfg.step_size.step_size, dtype)
         return WarmupProduct(key=key, chain=chain, extra=extra, mass=mass,
                              step_size=eps_final, warmup_stats=wstats)
+
+    return init_fn, segment_fn, finish_fn, (update_mask, close_mask)
+
+
+def build_warmup_fn(lpg, n_vars: int, cfg: C.SamplerConfig, dtype,
+                    pooled: bool = False):
+    """Returns warmup_fn(key) -> WarmupProduct (per chain; vmap it).
+    `lpg` is a unary q -> (logp, grad) closure."""
+    init_fn, segment_fn, finish_fn, masks = build_warmup_pieces(
+        lpg, n_vars, cfg, dtype, pooled)
+
+    def warmup_fn(key) -> WarmupProduct:
+        return finish_fn(segment_fn(init_fn(key), masks))
 
     return warmup_fn
 
@@ -285,7 +309,7 @@ def _chain_sharding(mesh):
 
 def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
            collect_idx=None, dtype=None, mesh=None, progress=None,
-           kernel: str = "scan"):
+           kernel: str = "scan", chunk_iters: Optional[int] = None):
     """Run inference on `model`; returns a Trace.
 
     `mesh`: a jax.sharding.Mesh with a 'chains' axis shards the chain
@@ -299,6 +323,11 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
     mass, a mesh, or columns beyond the VMEM budget) 'pallas' logs a
     warning and runs the scan path instead; 'pallas!' raises, for callers
     who need the kernel or nothing.
+    `chunk_iters`: bound the number of warmup/sampling iterations per
+    device program (chunked execution with host syncs between programs).
+    Use for runs whose single fused program would execute for minutes —
+    the remote TPU runtime kills workers on very long single programs
+    (docs/internals.md).
     """
 
     from ..core.trace import Trace
@@ -338,7 +367,7 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
     timings["build_s"] = _time.perf_counter() - t_build
 
     t0 = _time.perf_counter()
-    if progress is None:
+    if progress is None and chunk_iters is None:
         # cache the AOT-compiled program on the CompiledDensity so
         # repeated sampling of the same model shape (e.g. SBC repetitions
         # with swapped data) skips retracing; columns are runtime
@@ -393,7 +422,7 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
     else:
         result = _chunked_sample(lpg, cd.n_vars, cfg, dtype, keys,
                                  collect_idx, sharding, progress,
-                                 n_chains)
+                                 n_chains, chunk_iters, timings)
     walltime = _time.perf_counter() - t0
     # device→host transfer of the trace (over the remote-device tunnel
     # when one is in play) is a real cost; attribute it explicitly
@@ -659,23 +688,56 @@ def _pallas_sample(model, cfg: C.SamplerConfig, n_chains, seed,
 
 
 def _chunked_sample(lpg, n_vars, cfg, dtype, keys, collect_idx, sharding,
-                    progress, n_chains) -> ChainResult:
-    """Progress path: jitted warmup, then sampling in jitted chunks with
-    host refreshes between them (Driver.scala's throttled refresh)."""
-    progress.start(n_chains)
-    warm = jax.vmap(build_warmup_fn(lpg, n_vars, cfg, dtype,
-                                    cfg.pooled_adaptation),
-                    axis_name=CHAIN_AXIS)
-    warm = global_config.jit(warm, in_shardings=sharding) \
-        if sharding is not None else global_config.jit(warm)
-    wp: WarmupProduct = warm(keys)
-    _device_sync(wp.step_size)
-    progress.refresh("warmup complete", cfg.warmup_iterations,
-                     cfg.warmup_iterations, wp.warmup_stats, wp.step_size)
+                    progress, n_chains, chunk_iters=None,
+                    timings=None) -> ChainResult:
+    """Chunked path: warmup AND sampling run as a sequence of
+    bounded-length device programs with host syncs between them.
 
-    n_out = cfg.iterations // max(cfg.thin, 1)
-    n_chunks = min(20, max(n_out, 1))
-    chunk = max(n_out // n_chunks, 1)
+    Used for (a) live Progress refreshes (Driver.scala's throttled
+    refresh) and (b) bounding single-program device time — the remote
+    TPU runtime kills workers on very long single programs
+    (docs/internals.md "Synchronization...").  `chunk_iters` bounds the
+    iterations per device program; warmup segments are equal-shaped so
+    at most two segment programs compile (body + remainder)."""
+    if progress is not None:
+        progress.start(n_chains)
+    init_fn, segment_fn, finish_fn, masks = build_warmup_pieces(
+        lpg, n_vars, cfg, dtype, cfg.pooled_adaptation)
+
+    def _jit(fn, in_axes=0):
+        v = jax.vmap(fn, axis_name=CHAIN_AXIS, in_axes=in_axes)
+        return global_config.jit(v)
+
+    t_warm = _time.perf_counter()
+    W = cfg.warmup_iterations
+    wchunk = min(chunk_iters or W, W)
+    carry = _jit(init_fn)(keys)
+    seg = _jit(segment_fn, in_axes=(0, None))
+    done = 0
+    while done < W:
+        mslice = tuple(m[done:done + wchunk] for m in masks)
+        carry = seg(carry, mslice)
+        _device_sync(carry[0])
+        done += wchunk
+        if progress is not None:
+            progress.refresh("warmup", min(done, W), W, carry[6],
+                             np.asarray(jax.vmap(current_step_size)(
+                                 carry[2])))
+    wp: WarmupProduct = _jit(finish_fn)(carry)
+    _device_sync(wp.step_size)
+    if timings is not None:
+        timings["warmup_s"] = _time.perf_counter() - t_warm
+    if progress is not None:
+        progress.refresh("warmup complete", W, W, wp.warmup_stats,
+                         wp.step_size)
+
+    t_sample = _time.perf_counter()
+    thin = max(cfg.thin, 1)
+    n_out = cfg.iterations // thin
+    if chunk_iters:
+        chunk = max(chunk_iters // thin, 1)
+    else:
+        chunk = max(n_out // min(20, max(n_out, 1)), 1)
     sampling_fn = build_sampling_fn(lpg, cfg, dtype, chunk, collect_idx)
     sfn = global_config.jit(jax.vmap(sampling_fn, axis_name=CHAIN_AXIS,
                            in_axes=(0, 0, 0)))
@@ -689,10 +751,14 @@ def _chunked_sample(lpg, n_vars, cfg, dtype, keys, collect_idx, sharding,
         _device_sync(samples)
         pieces.append(np.asarray(samples))
         done += chunk
-        progress.refresh("sampling", min(done, n_out) * max(cfg.thin, 1),
-                         cfg.iterations, carry.stats, wp.step_size)
+        if progress is not None:
+            progress.refresh("sampling", min(done, n_out) * thin,
+                             cfg.iterations, carry.stats, wp.step_size)
     samples = np.concatenate(pieces, axis=1)[:, :n_out]
-    progress.finish("complete", carry.stats, wp.step_size)
+    if timings is not None:
+        timings["sample_s"] = _time.perf_counter() - t_sample
+    if progress is not None:
+        progress.finish("complete", carry.stats, wp.step_size)
     return ChainResult(samples=samples, mass=wp.mass,
                        step_size=wp.step_size,
                        warmup_stats=wp.warmup_stats, stats=carry.stats,

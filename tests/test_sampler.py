@@ -231,6 +231,29 @@ def test_divergence_counting():
     assert int(np.sum(np.asarray(res.stats.divergences))) > 0
 
 
+def test_chunked_execution_matches_fused():
+    """chunk_iters bounds device-program length (warmup and sampling run
+    as segment programs with host syncs — the remote TPU runtime kills
+    workers on very long single programs, docs/internals.md).  The
+    chunked run must deliver the same posterior (moments within MC
+    error; bitwise equality is not expected across different XLA program
+    partitionings) and the full draw count, including a non-dividing
+    chunk size (remainder segment)."""
+    rng = np.random.default_rng(3)
+    data = rng.normal(1.5, 2.0, size=128)
+    mu = rt.Normal(0, 10).latent()
+    sigma = rt.Exponential(0.5).latent()
+    model = rt.Model.observe(list(data), rt.Normal(mu, sigma))
+    cfg = SamplerConfig(warmup_iterations=300, iterations=400,
+                        sampler=HMC(5))
+    t0 = model.sample(cfg, n_chains=8, seed=0)
+    t1 = model.sample(cfg, n_chains=8, seed=0, chunk_iters=130)
+    assert t1.chains.shape == t0.chains.shape
+    for expr in (mu, sigma):
+        assert abs(t0.mean(expr) - t1.mean(expr)) < 0.15
+    assert max(d.r_hat for d in t1.diagnostics()) < 1.1
+
+
 def test_progress_console_and_html():
     """Chunked driver path with Progress attached (HTMLProgress.scala's
     stat surface: per-chain accept / E-BFMI / step / divergences)."""
