@@ -112,9 +112,12 @@ def run_config(name, n_chains_default):
         "chains": chains,
         "iterations": tr.n_iterations,
         "wall_s": round(wall, 2),
-        # phase breakdown (sums to wall_s up to rounding)
+        # phase breakdown (sums to wall_s up to rounding); compile_s on
+        # the fused AOT path, warmup_s on the chunked/pallas paths (where
+        # warmup is its own program, including its chunk compiles)
         "build_s": timings.get("build_s"),
         "compile_s": timings.get("compile_s"),
+        "warmup_s": timings.get("warmup_s"),
         "sample_s": round(sample_s, 2),
         "transfer_s": timings.get("transfer_s"),
         "diag_s": round(diag_s, 2),

@@ -334,6 +334,10 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
 
     if kernel in ("pallas", "pallas!"):
         reason = _pallas_unsupported_reason(model, cfg, n_chains, mesh)
+        if reason is None and chunk_iters is not None:
+            reason = ("the fused kernel runs the whole sampling phase as "
+                      "one device program; chunk_iters needs the scan "
+                      "path")
         if reason is None:
             return _pallas_sample(model, cfg, n_chains, seed, collect_idx,
                                   progress)
