@@ -34,6 +34,48 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import jax  # noqa: E402
 
 
+def calibrate():
+    """Device-health control: sustained grad-eval rate of a fixed funnel
+    hot loop (~0.2 s), measured immediately before each config.  The
+    shared remote TPU's effective throughput has been observed to degrade
+    ~100x for stretches of minutes (docs/internals.md); a record whose
+    calibration is far below ~1.3e9/s on v5e was captured in such a
+    window and should be re-run, not compared."""
+    import jax.numpy as jnp
+    from rainier_tpu.sampler import identity_mass
+    from rainier_tpu.sampler.leapfrog import ChainState, hmc_transition
+
+    C, IT = 32768, 500
+
+    def lpg(q):
+        def f(qq):
+            return (-0.5 * (qq[0] / 3.0) ** 2 - 0.5 * jnp.sum(
+                qq[1:] * qq[1:] * jnp.exp(-qq[0])) - 4.5 * qq[0])
+        return f(q), jax.grad(f)(q)
+
+    def chain_run(key, q0):
+        lp, g = lpg(q0)
+        state = ChainState(q=q0, potential=-lp, grad=g)
+
+        def step(carry, _):
+            key, state = carry
+            key, k = jax.random.split(key)
+            res = hmc_transition(k, state, jnp.float32(0.18), 5,
+                                 identity_mass(), lpg)
+            return (key, res.state), None
+
+        (_, state), _ = jax.lax.scan(step, (key, state), None, length=IT)
+        return state.q
+
+    run = jax.jit(lambda keys, q0: jnp.sum(jax.vmap(chain_run)(keys, q0)))
+    keys = jax.random.split(jax.random.PRNGKey(0), C)
+    q0 = jnp.zeros((C, 10), jnp.float32)
+    float(run(keys, q0))  # compile + warm
+    t0 = time.perf_counter()
+    float(run(keys, q0))
+    return C * IT * 5 / (time.perf_counter() - t0)
+
+
 def run_config(name, n_chains_default):
     import rainier_tpu as rt
     from rainier_tpu.sampler import EHMC, HMC, NUTS, SamplerConfig
@@ -174,7 +216,9 @@ def main():
     failed = []
     for name in (args.configs or ALL):
         try:
+            cal = calibrate()
             rec = run_config(name, args.chains)
+            rec["calibration_evals_per_s"] = round(cal)
         except Exception as e:
             failed.append(name)
             rec = {"config": name, "error": str(e)[:200]}
