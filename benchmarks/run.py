@@ -26,6 +26,14 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(x):
+    """Force completion: block_until_ready acks enqueue, not completion,
+    over the remote device tunnel (docs/internals.md) — a one-element
+    readback is dependency-ordered and cannot return early."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
+
+
 def _eval_loop(f, iters):
     """Chain `iters` sequential evals inside one jit (data dependence via
     an infinitesimal gradient nudge) — measures sustained device latency/
@@ -54,24 +62,24 @@ def bench_model(name: str, build_fn, n_chains: int):
 
     q = jnp.zeros((cd.n_vars,), jnp.float32)
     from rainier_tpu import config as _cfg
-    jax.block_until_ready(_cfg.jit(f)(q))
+    _sync(_cfg.jit(f)(q))
     build_s = time.perf_counter() - t0
 
     # sequential-eval latency (JMH run() analogue): 1000 dependent evals
     seq_iters = 1000
     seq = _eval_loop(f, seq_iters)
-    jax.block_until_ready(seq(q))
+    _sync(seq(q))
     t0 = time.perf_counter()
-    jax.block_until_ready(seq(q))
+    _sync(seq(q))
     single_us = (time.perf_counter() - t0) / seq_iters * 1e6
 
     # batched throughput: chain batch of sequential evals
     bat_iters = 50
     bat = _eval_loop(jax.vmap(f), bat_iters)
     qs = jnp.zeros((n_chains, cd.n_vars), jnp.float32)
-    jax.block_until_ready(bat(qs))
+    _sync(bat(qs))
     t0 = time.perf_counter()
-    jax.block_until_ready(bat(qs))
+    _sync(bat(qs))
     dt = time.perf_counter() - t0
     evals_per_s = n_chains * bat_iters / dt
 
@@ -127,9 +135,15 @@ def main():
             sys.exit(1)
         return
 
+    # device-health control measured once per process (docs/internals.md
+    # "Throughput variance"); fresh mode gives one per record
+    from benchmarks.e2e import calibrate
+    cal = round(calibrate())
+
     for name in names:
         try:
             rec = bench_model(name, M.ALL[name], args.chains)
+            rec["calibration_evals_per_s"] = cal
             rec["device"] = str(jax.devices()[0])
             print(json.dumps(rec), flush=True)
         except Exception as e:  # keep the sweep going

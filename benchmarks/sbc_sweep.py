@@ -29,6 +29,15 @@ import jax.numpy as jnp  # noqa: E402
 DEFAULT_SIZES = [100, 1_000, 10_000, 100_000]
 
 
+def _sync(x):
+    """Force completion: block_until_ready acks enqueue, not completion,
+    over the remote device tunnel (docs/internals.md)."""
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
+
+
 def families():
     from tests.goldset_zoo import zoo
 
@@ -58,11 +67,11 @@ def bench_point(name, sbc, n, n_chains):
         return jax.lax.scan(step, qs, None, length=20)
 
     run = _cfg.jit(loop)
-    jax.block_until_ready(run(qs))
+    _sync(run(qs))
     build_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    jax.block_until_ready(run(qs))
+    _sync(run(qs))
     dt = time.perf_counter() - t0
     rec = {
         "family": name,
