@@ -40,7 +40,11 @@ def run_point(n, kernel, n_chains, iters):
     model = M.logistic_regression(n=n)
     cfg = SamplerConfig(iters, iters, sampler=HMC(8))
     t0 = time.perf_counter()
-    tr = model.sample(cfg, n_chains=n_chains, seed=0, kernel=kernel)
+    # scan runs as one warmup program + one sampling program
+    # (chunk_iters=iters) so its sample_s covers the SAME phase as the
+    # pallas kernel's (which always reports warmup separately)
+    kw = {} if kernel.startswith("pallas") else {"chunk_iters": iters}
+    tr = model.sample(cfg, n_chains=n_chains, seed=0, kernel=kernel, **kw)
     wall = time.perf_counter() - t0
     timings = tr.timings or {}
     sample_s = timings.get("sample_s", tr.walltime)
@@ -71,12 +75,16 @@ def main():
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from benchmarks.e2e import calibrate
+
     failed = []
     for n in (int(s) for s in args.sizes.split(",")):
         base = None
+        cal = round(calibrate())  # device-health control per size group
         for kernel in ("scan", "pallas!"):
             try:
                 rec = run_point(n, kernel, args.chains, args.iters)
+                rec["calibration_evals_per_s"] = cal
             except Exception as e:
                 failed.append(f"{n}/{kernel}")
                 rec = {"n": n, "kernel": kernel, "error": str(e)[:200]}
