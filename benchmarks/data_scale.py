@@ -39,12 +39,15 @@ def run_point(n, kernel, n_chains, iters):
 
     model = M.logistic_regression(n=n)
     cfg = SamplerConfig(iters, iters, sampler=HMC(8))
-    t0 = time.perf_counter()
     # scan runs as one warmup program + one sampling program
     # (chunk_iters=iters) so its sample_s covers the SAME phase as the
     # pallas kernel's (which always reports warmup separately)
     kw = {} if kernel.startswith("pallas") else {"chunk_iters": iters}
-    tr = model.sample(cfg, n_chains=n_chains, seed=0, kernel=kernel, **kw)
+    # warm run first: compiles (and any cold persistent-cache misses)
+    # land here, so the measured run is steady-state throughput
+    model.sample(cfg, n_chains=n_chains, seed=0, kernel=kernel, **kw)
+    t0 = time.perf_counter()
+    tr = model.sample(cfg, n_chains=n_chains, seed=1, kernel=kernel, **kw)
     wall = time.perf_counter() - t0
     timings = tr.timings or {}
     sample_s = timings.get("sample_s", tr.walltime)

@@ -468,7 +468,11 @@ def _pallas_unsupported_reason(model, cfg, n_chains, mesh):
 # Row-tiled likelihood accumulation kicks in above this many observations:
 # below it, whole-dataset reverse-mode residuals ((n_rows, C) per buffer)
 # comfortably fit VMEM and the per-tile loop overhead isn't worth paying.
-ROW_TILE_MIN_ROWS = 8192
+# Measured on the 100k-logistic family (benchmarks/data_scale_tpu_r3):
+# untiled at 4096 rows thrashes VMEM through the lanes-evaluator's
+# (n, C) intermediates (0.18x the scan path), tiled at 100k rows beats
+# the scan path 2.03x — so tile as soon as a full tile exists.
+ROW_TILE_MIN_ROWS = 2048
 ROW_TILE = 1024  # Mosaic alignment unit for 1-D VMEM column slices
 
 
