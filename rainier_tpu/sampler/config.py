@@ -21,12 +21,24 @@ class HMC:
 
 @dataclass(frozen=True)
 class EHMC:
-    """Empirical HMC, Wu et al. 2018 (sampler/EHMC.scala)."""
+    """Empirical HMC, Wu et al. 2018 (sampler/EHMC.scala).
+
+    `synchronized` (TPU extension, default on): at each sampling
+    iteration the per-chain empirical draws of the trajectory length are
+    replaced by their cross-chain maximum (`lax.pmax` over the vmapped
+    chain axis).  A vmapped batch already *pays* max(L) leapfrog steps
+    per iteration — lanes that drew shorter lengths sit masked — so
+    synchronizing is free in wall-clock and lets every chain integrate
+    the full trajectory (L remains independent of the chain state, so
+    the transition stays a valid MH kernel).  Set False for the
+    reference's strictly per-chain replay (EHMC.scala:52-63), e.g. when
+    running a single chain or reproducing reference behavior."""
 
     max_steps: int = 1024
     min_steps: int = 1
     buf_size: int = 100
     p_count: float = 0.1
+    synchronized: bool = True
 
 
 @dataclass(frozen=True)

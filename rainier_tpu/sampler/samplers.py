@@ -145,6 +145,14 @@ def _ehmc_step(cfg: C.EHMC, key, chain, eps, mass, extra, lpg, warmup):
     else:
         counting = jnp.asarray(False)
     n_target = jnp.maximum(ring_sample(rb, kt), 1).astype(jnp.int32)
+    if cfg.synchronized:
+        # a vmapped batch runs max(L) steps regardless (shorter lanes
+        # idle masked); share that max so every chain integrates it —
+        # free in wall-clock, still state-independent ⇒ valid MH
+        try:
+            n_target = jax.lax.pmax(n_target, "chains")
+        except NameError:  # not under the driver's vmap (single chain)
+            pass
     prop, p1, l_counted, n_grads = _ehmc_trajectory(
         chain, p0, eps, mass, lpg, counting, n_target, cfg)
     h1 = prop.potential + kinetic(mass, p1)

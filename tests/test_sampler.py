@@ -231,6 +231,31 @@ def test_divergence_counting():
     assert int(np.sum(np.asarray(res.stats.divergences))) > 0
 
 
+def test_ehmc_synchronized_lengths():
+    """EHMC(synchronized=True), the TPU default: per-iteration empirical
+    trajectory lengths are pmax-shared across the vmapped chain batch —
+    free in wall-clock (shorter lanes idle at max(L) anyway) and still a
+    valid MH kernel (L independent of state).  Moments must match the
+    reference's per-chain replay mode, and the synchronized run must
+    integrate at least as many gradient steps."""
+    rng = np.random.default_rng(3)
+    data = rng.normal(1.5, 2.0, size=128)
+    mu = rt.Normal(0, 10).latent()
+    sigma = rt.Exponential(0.5).latent()
+    model = rt.Model.observe(list(data), rt.Normal(mu, sigma))
+    res = {}
+    for sync in (True, False):
+        cfg = SamplerConfig(300, 400,
+                            sampler=EHMC(max_steps=64, synchronized=sync))
+        tr = model.sample(cfg, n_chains=8, seed=0)
+        res[sync] = (tr.mean(mu), tr.mean(sigma),
+                     float(np.sum(np.asarray(tr.stats.grad_evals))))
+        assert max(d.r_hat for d in tr.diagnostics()) < 1.05
+    assert abs(res[True][0] - res[False][0]) < 0.15
+    assert abs(res[True][1] - res[False][1]) < 0.2
+    assert res[True][2] >= res[False][2]
+
+
 def test_chunked_execution_matches_fused():
     """chunk_iters bounds device-program length (warmup and sampling run
     as segment programs with host syncs — the remote TPU runtime kills
