@@ -154,32 +154,42 @@ def run_config(name, n_chains_default):
     wall = time.perf_counter() - t0
     timings = tr.timings or {}
     sample_s = timings.get("sample_s", tr.walltime)
+    # the ESS estimators clip autocorrelation at 0, capping ESS at
+    # chains×iterations; when the cap binds the capped value is a lower
+    # bound, NOT evidence of n·m independent draws — so the rate built
+    # from it is reported only as a lower bound (round-3 verdict #4)
+    ess_capped = bool(min_ess >= 0.99 * draws)
+    bulk_capped = bool(min_ess_bulk >= 0.99 * draws)
     rec = {
         "config": name,
         "n_vars": model.n_vars,
         "chains": chains,
         "iterations": tr.n_iterations,
         "wall_s": round(wall, 2),
-        # phase breakdown (sums to wall_s up to rounding); compile_s on
-        # the fused AOT path, warmup_s on the chunked/pallas paths (where
-        # warmup is its own program, including its chunk compiles)
+        # phase breakdown (sums to wall_s up to rounding); every path
+        # now times warmup as its own phase (the fused path splits into
+        # warmup + sampling programs with one sync at the boundary)
         "build_s": timings.get("build_s"),
         "compile_s": timings.get("compile_s"),
         "warmup_s": timings.get("warmup_s"),
         "sample_s": round(sample_s, 2),
         "transfer_s": timings.get("transfer_s"),
         "diag_s": round(diag_s, 2),
-        # throughput: device rate and honest end-to-end rate
+        # throughput: device rate (sampling phase only — warmup is its
+        # own phase) and honest end-to-end rate
         "samples_per_s": round(draws / sample_s),
         "samples_per_s_e2e": round(draws / wall),
         # classic (reference-parity) estimators; ESS is capped at n·m
         "min_ess": round(min_ess, 1),
         "max_rhat": round(max_rhat, 4),
-        "ess_capped": bool(min_ess >= 0.99 * draws),
+        "ess_capped": ess_capped,
         # robust rank-normalized split-chain estimators (honest rates)
         "min_ess_bulk": round(min_ess_bulk, 1),
         "max_rhat_rank": round(max_rhat_rank, 4),
-        "ess_per_s": round(min_ess_bulk / sample_s, 1),
+        "ess_per_s": (None if bulk_capped
+                      else round(min_ess_bulk / sample_s, 1)),
+        "ess_per_s_lower_bound": (round(min_ess_bulk / sample_s, 1)
+                                  if bulk_capped else None),
         "divergences": tr.divergences(),
         "grad_evals_per_s": round(float(np.sum(np.asarray(
             tr.stats.grad_evals))) / sample_s),

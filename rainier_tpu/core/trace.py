@@ -13,6 +13,7 @@ core/Trace.scala:34-41 + Generator.prepare).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -35,26 +36,32 @@ def _variogram(chains: np.ndarray, max_lag: int) -> np.ndarray:
     values: Σ(x_{t+l}−x_t)² = head(l) + tail(l) − 2·Σ x_t·x_{t+l}).
     The cross terms for all lags at once are a batched (1, n)·(n, L+1)
     matmul over a zero-padded sliding-window view — BLAS, one data pass.
-    100 lags over (1024, 10k, 10) drop from minutes to seconds."""
+
+    The variogram is shift-invariant, so each parameter is centered by
+    its pooled mean (in float64) before the cross-product pass and all
+    accumulation runs in float64: uncentered, the head+tail−2·cross
+    subtraction cancels catastrophically for concentrated posteriors
+    (|mean|/sd ≳ 300 gave ≥8% error in f32 — round-3 advisor finding)."""
     from numpy.lib.stride_tricks import sliding_window_view
 
     m, n, k = chains.shape
+    mu = chains.mean(axis=(0, 1), dtype=np.float64)   # (k,)
     ls = np.arange(1, max_lag + 1)
     cross = np.zeros((max_lag, k))
     head = np.zeros((max_lag, k))
     tail = np.zeros((max_lag, k))
     # chunk chains to bound the workspace; time on the last (contiguous)
-    # axis.  Cross products accumulate in the chains' own precision — the
-    # per-lag-loop estimator this replaces did too
+    # axis
     chunk = max(1, int(16e6) // (n * k))
     for a in range(0, m, chunk):
-        x = np.ascontiguousarray(np.swapaxes(chains[a:a + chunk], 1, 2))
+        x = np.swapaxes(chains[a:a + chunk], 1, 2).astype(np.float64)
+        x -= mu[None, :, None]                        # (mc, k, n) centered
         xp = np.concatenate(
             [x, np.zeros(x.shape[:-1] + (max_lag,), x.dtype)], axis=-1)
         xw = sliding_window_view(xp, max_lag + 1, axis=-1)  # (mc,k,n,L+1)
         cp = np.matmul(x[..., None, :], xw)           # (mc, k, 1, L+1)
         cross += cp[..., 0, 1:].sum(axis=0).T         # Σ_t x_t·x_{t+l}
-        c = np.cumsum(np.square(x, dtype=np.float64), axis=-1)
+        c = np.cumsum(np.square(x), axis=-1)
         head += c[..., n - ls - 1].sum(axis=0).T      # Σ_{t<n−l} x²_t
         tail += (c[..., -1][..., None] - c[..., ls - 1]).sum(axis=0).T
     return (head + tail - 2.0 * cross) / (m * (n - ls)[:, None])
@@ -108,6 +115,83 @@ def _rank_normalize(chains: np.ndarray) -> np.ndarray:
     return z.reshape(m, n, k).astype(np.float64)
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _diagnostics_device(chains, max_lag: int, split: bool,
+                        rank_normalized: bool):
+    """Device-native r̂/ESS: the whole diagnostics pipeline — split,
+    rank-normalization (sorts + searchsorted), between/within variances
+    and the variogram autocorrelation — as ONE compiled XLA program.
+
+    This is the library's thesis applied to its own tooling: the host
+    scipy pipeline took 132 s of a 159 s funnel e2e run (83% of wall
+    clock, round-3 verdict); on device it is sorts + elementwise passes
+    over HBM, ~1000x less than the host numpy/scipy version.  The host
+    implementations above stay as the float64 oracle
+    (tests/test_baseline_models.py pins device == host).
+
+    Conditioning: raw f32 chains from concentrated posteriors have
+    |mean|/sd up to ~10³, so every moment computation here runs on
+    *globally centered* values (two-pass mean) — after centering all
+    subtractions operate on O(sd) quantities, and the variogram uses the
+    direct squared-difference estimator, which cancels any residual
+    shift exactly."""
+    m, n, k = chains.shape
+    if split:
+        half = n // 2
+        chains = jnp.concatenate(
+            [chains[:, :half], chains[:, half:2 * half]], axis=0)
+        m, n = 2 * m, half
+    if rank_normalized:
+        from jax.scipy.special import ndtri
+
+        s_total = m * n
+        flat = chains.reshape(s_total, k)
+        srt = jnp.sort(flat, axis=0)
+
+        def ranks_1d(sv, xv):
+            # method='sort' turns each lookup batch into one extra
+            # lax.sort instead of 10M strided binary-search gathers
+            left = jnp.searchsorted(sv, xv, side="left", method="sort")
+            right = jnp.searchsorted(sv, xv, side="right", method="sort")
+            # average rank over ties, 1-based: mean of left+1 .. right
+            # (f32 draws tie often — they are quantized to ~eps·|x|)
+            return 0.5 * (left + right + 1).astype(chains.dtype)
+
+        ranks = jax.vmap(ranks_1d, in_axes=1, out_axes=1)(srt, flat)
+        z = ndtri((ranks - 0.375) / (s_total + 0.25))
+        chains = z.reshape(m, n, k)
+
+    # two-pass global centering per parameter (exact to O(eps·sd))
+    mu1 = jnp.mean(chains, axis=(0, 1))
+    mu = mu1 + jnp.mean(chains - mu1, axis=(0, 1))
+    x = chains - mu                                   # (m, n, k)
+
+    means = jnp.mean(x, axis=1)                       # (m, k)
+    mean_mean = jnp.mean(means, axis=0)               # (k,)
+    b = n / (m - 1) * jnp.sum((means - mean_mean) ** 2, axis=0)
+    variances = jnp.sum((x - means[:, None, :]) ** 2, axis=1) / (n - 1)
+    w = jnp.mean(variances, axis=0)
+    v = (n - 1) / n * w + b / n
+    r_hat = jnp.sqrt(v / jnp.maximum(w, 1e-30))
+
+    max_lag = min(max_lag, n - 1)
+    xp = jnp.pad(x, ((0, 0), (0, max_lag), (0, 0)))
+    t_idx = jnp.arange(n)
+
+    def lag_body(_, lag):
+        shifted = jax.lax.dynamic_slice_in_dim(xp, lag, n, axis=1)
+        mask = (t_idx < n - lag)[None, :, None].astype(x.dtype)
+        d = (shifted - x) * mask
+        return None, jnp.sum(d * d, axis=(0, 1)) / (m * (n - lag))
+
+    _, vt = jax.lax.scan(lag_body, None, jnp.arange(1, max_lag + 1))
+    pts = 1.0 - vt / (2.0 * jnp.maximum(v, 1e-30))
+    alive = jnp.cumprod((pts > 0.0).astype(x.dtype), axis=0)
+    ac = jnp.sum(pts * alive, axis=0)
+    ess = n * m / (1 + 2 * ac)
+    return r_hat, ess
+
+
 class Trace:
     def __init__(self, chains: np.ndarray, model, compiled, config,
                  mass=None, stats=None, warmup_stats=None, step_size=None,
@@ -123,14 +207,17 @@ class Trace:
         self.collect_idx = collect_idx
         self.walltime = walltime
         #: per-phase wall-clock breakdown set by the driver:
-        #: build_s / compile_s / sample_s / transfer_s (scan path) or
-        #: build_s / warmup_s / sample_s / transfer_s (pallas path)
+        #: build_s / compile_s / warmup_s / sample_s / transfer_s
         self.timings: Optional[dict] = None
+        #: device-resident copy of the sample array, when the driver
+        #: produced one — lets diagnostics run on device without a
+        #: host→device re-upload of the trace
+        self._device_chains = None
 
     @staticmethod
     def from_result(model, compiled, result, config, collect_idx=None,
                     walltime=None) -> "Trace":
-        return Trace(
+        t = Trace(
             chains=np.asarray(result.samples),
             model=model, compiled=compiled, config=config,
             mass=jax.tree.map(
@@ -140,6 +227,10 @@ class Trace:
             warmup_stats=jax.tree.map(np.asarray, result.warmup_stats),
             step_size=result.step_size, collect_idx=collect_idx,
             walltime=walltime)
+        if (isinstance(result.samples, jax.Array)
+                and result.samples.is_fully_addressable):
+            t._device_chains = result.samples
+        return t
 
     # -- basic shape ------------------------------------------------------
     @property
@@ -162,7 +253,8 @@ class Trace:
 
     # -- diagnostics ------------------------------------------------------
     def diagnostics(self, split: bool = False,
-                    rank_normalized: bool = False) -> list[Diagnostics]:
+                    rank_normalized: bool = False,
+                    device: bool = True) -> list[Diagnostics]:
         """Per-parameter (r̂, ESS).
 
         Defaults match the reference exactly (Stan manual §30.3/30.4,
@@ -170,17 +262,31 @@ class Trace:
         ``rank_normalized=True`` (implies split) computes the
         rank-normalized bulk diagnostics of Vehtari et al. 2021
         ("Rank-normalization, folding, and localization"), robust to
-        heavy tails and infinite variance."""
+        heavy tails and infinite variance.
+
+        ``device=True`` (default) runs the whole pipeline as one
+        compiled device program (`_diagnostics_device`) on the
+        device-resident samples when the driver kept them, avoiding
+        both the host scipy cost and a re-upload; ``device=False``
+        uses the float64 host oracle."""
         if self.n_chains < 2:
             raise ValueError("diagnostics requires multiple chains")
-        chains = self.chains
         if rank_normalized:
             split = True
-        if split:
-            chains = _split_chains(chains)
-        if rank_normalized:
-            chains = _rank_normalize(chains)
-        r_hat, ess = _diagnostics_all(chains)
+        if device:
+            chains = self._device_chains
+            if chains is None:
+                chains = jnp.asarray(self.chains)
+            r_hat, ess = _diagnostics_device(
+                chains, 100, split, rank_normalized)
+            r_hat, ess = np.asarray(r_hat), np.asarray(ess)
+        else:
+            chains = self.chains
+            if split:
+                chains = _split_chains(chains)
+            if rank_normalized:
+                chains = _rank_normalize(chains)
+            r_hat, ess = _diagnostics_all(chains)
         return [Diagnostics(float(r), float(e))
                 for r, e in zip(r_hat, ess)]
 

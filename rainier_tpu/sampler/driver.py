@@ -55,9 +55,16 @@ def _device_sync(x):
     'axon' tunnel acks enqueue, not completion), which silently shifted
     sample-phase time into the transfer/diagnostics phases of committed
     benchmarks.  A one-element device→host readback is dependency-ordered
-    and cannot return early."""
+    and cannot return early.
+
+    On multi-host runs the array is not fully addressable (shards live
+    on other hosts' devices), so both the eager getitem and the host
+    readback would raise — fall back to block_until_ready there."""
     leaf = jax.tree_util.tree_leaves(x)[0]
-    np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
+    if getattr(leaf, "is_fully_addressable", True):
+        np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
+    else:
+        jax.block_until_ready(leaf)
 
 
 class WarmupProduct(NamedTuple):
@@ -372,10 +379,15 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
 
     t0 = _time.perf_counter()
     if progress is None and chunk_iters is None:
-        # cache the AOT-compiled program on the CompiledDensity so
-        # repeated sampling of the same model shape (e.g. SBC repetitions
-        # with swapped data) skips retracing; columns are runtime
-        # arguments, so same-shape data swaps hit the cache
+        # Fast path: TWO AOT-compiled programs — warmup and sampling —
+        # with one device sync at the boundary.  The split costs one
+        # sync but makes warmup_s attributable on every path (round-3
+        # verdict: warmup_s was null on the fused path, so
+        # samples_per_s meant different things across records).
+        # Executables are cached on the CompiledDensity so repeated
+        # sampling of the same model shape (e.g. SBC repetitions with
+        # swapped data) skips retracing; columns are runtime arguments,
+        # so same-shape data swaps hit the cache.
         try:
             cache_key = (cfg, n_chains, str(dtype),
                          None if collect_idx is None
@@ -387,32 +399,73 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
         cache = getattr(cd, "_driver_cache", None)
         if cache is None:
             cache = cd._driver_cache = {}
-        executable = cache.get(cache_key)
-        t_compile = _time.perf_counter()
-        if executable is None:
-            def chain_fn_cols(key, cols_arg):
+        entry = cache.get(cache_key)
+        if entry is None:
+            entry = {}
+            if cache_key is not None:
+                cache[cache_key] = entry
+        pooled = cfg.pooled_adaptation
+        n_out = cfg.iterations // max(cfg.thin, 1)
+        timings["compile_s"] = 0.0
+
+        warm_exec = entry.get("warm")
+        if warm_exec is None:
+            t_compile = _time.perf_counter()
+
+            def warm_fn_cols(key, cols_arg):
                 def lpg_local(q):
                     return lpg_raw(q, cols_arg)
 
-                fn = build_chain_fn(lpg_local, cd.n_vars, cfg, dtype,
-                                    collect_idx=collect_idx)
-                return fn(key)
+                return build_warmup_fn(lpg_local, cd.n_vars, cfg, dtype,
+                                       pooled)(key)
 
-            batched = jax.vmap(chain_fn_cols, in_axes=(0, None),
-                               axis_name=CHAIN_AXIS)
-            jitted = global_config.jit(batched,
-                                        in_shardings=(sharding, None)) \
-                if sharding is not None else global_config.jit(batched)
-            # AOT lower+compile so compile time is attributable
-            # (VERDICT r2: break e2e walltime into explicit phases)
-            executable = jitted.lower(keys, cols).compile()
-            if cache_key is not None:
-                cache[cache_key] = executable
-        timings["compile_s"] = _time.perf_counter() - t_compile
+            warm_b = jax.vmap(warm_fn_cols, in_axes=(0, None),
+                              axis_name=CHAIN_AXIS)
+            jit_w = global_config.jit(warm_b,
+                                      in_shardings=(sharding, None)) \
+                if sharding is not None else global_config.jit(warm_b)
+            warm_exec = jit_w.lower(keys, cols).compile()
+            entry["warm"] = warm_exec
+            timings["compile_s"] += _time.perf_counter() - t_compile
+
+        t_warm = _time.perf_counter()
+        wp: WarmupProduct = warm_exec(keys, cols)
+        _device_sync(wp.step_size)
+        timings["warmup_s"] = _time.perf_counter() - t_warm
+
+        samp_exec = entry.get("samp")
+        if samp_exec is None:
+            t_compile = _time.perf_counter()
+
+            def samp_fn_cols(wp_arg, cols_arg):
+                def lpg_local(q):
+                    return lpg_raw(q, cols_arg)
+
+                sampling_fn = build_sampling_fn(lpg_local, cfg, dtype,
+                                                n_out, collect_idx)
+                sstats0 = stats_init(dtype,
+                                     wp_arg.warmup_stats.prev_energy)
+                carry0 = SampleCarry(wp_arg.key, wp_arg.chain,
+                                     wp_arg.extra, sstats0)
+                carry, samples = sampling_fn(carry0, wp_arg.mass,
+                                             wp_arg.step_size)
+                return samples, carry.stats, carry.chain.q
+
+            samp_b = jax.vmap(samp_fn_cols, in_axes=(0, None),
+                              axis_name=CHAIN_AXIS)
+            # shardings flow from the (committed) warmup-product arrays
+            samp_exec = global_config.jit(samp_b).lower(wp, cols).compile()
+            entry["samp"] = samp_exec
+            timings["compile_s"] += _time.perf_counter() - t_compile
 
         t_run = _time.perf_counter()
-        result: ChainResult = executable(keys, cols)
-        _device_sync(result.samples)
+        samples, sstats, final_q = samp_exec(wp, cols)
+        _device_sync(samples)
+        timings["sample_s"] = _time.perf_counter() - t_run
+        result = ChainResult(samples=samples, mass=wp.mass,
+                             step_size=wp.step_size,
+                             warmup_stats=wp.warmup_stats, stats=sstats,
+                             final_q=final_q)
         if jax.process_count() > 1:
             # multi-host run: result shards live on other hosts' devices;
             # all-gather so every process holds the full trace (Trace is
@@ -422,7 +475,6 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
             result = jax.tree.map(
                 lambda a: multihost_utils.process_allgather(a, tiled=True),
                 result)
-        timings["sample_s"] = _time.perf_counter() - t_run
     else:
         result = _chunked_sample(lpg, cd.n_vars, cfg, dtype, keys,
                                  collect_idx, sharding, progress,
@@ -454,11 +506,16 @@ def _pallas_unsupported_reason(model, cfg, n_chains, mesh):
     cd = model.density()
     cols = cd.column_values(jnp.float32)
     col_bytes = sum(4 * int(np.prod(c.shape)) for c in cols)
-    if col_bytes > VMEM_COLUMN_BUDGET:
+    # row tiling first: a tiled run double-buffer-streams its column
+    # tiles from HBM (fused_hmc auto-streams when over budget), so the
+    # whole-column VMEM budget only gates untiled runs — exactly the
+    # large-data case tiling was built for (round-3 advisor finding)
+    row_tile = _pallas_row_tile(cd, cols)
+    if col_bytes > VMEM_COLUMN_BUDGET and not row_tile:
         return (f"columns need {col_bytes / 2**20:.1f} MiB of VMEM "
-                f"(budget {VMEM_COLUMN_BUDGET / 2**20:.0f} MiB)")
+                f"(budget {VMEM_COLUMN_BUDGET / 2**20:.0f} MiB) and the "
+                "density does not row-tile")
     try:
-        row_tile = _pallas_row_tile(cd, cols)
         _pallas_block_chains(n_chains, cd.n_vars, cols, row_tile=row_tile)
     except ValueError as e:
         return str(e)
@@ -468,10 +525,12 @@ def _pallas_unsupported_reason(model, cfg, n_chains, mesh):
 # Row-tiled likelihood accumulation kicks in above this many observations:
 # below it, whole-dataset reverse-mode residuals ((n_rows, C) per buffer)
 # comfortably fit VMEM and the per-tile loop overhead isn't worth paying.
-# Measured on the 100k-logistic family (benchmarks/data_scale_tpu_r3):
-# untiled at 4096 rows thrashes VMEM through the lanes-evaluator's
-# (n, C) intermediates (0.18x the scan path), tiled at 100k rows beats
-# the scan path 2.03x — so tile as soon as a full tile exists.
+# Measured on the 100k-logistic family (benchmarks/data_scale_tpu_r3.jsonl
+# steady-state, docs/performance.md rule 6): untiled at 4096 rows thrashes
+# VMEM through the lanes-evaluator's (n, C) intermediates (0.18x the scan
+# path); tiling recovers most of the gap at 100k rows (scan still wins
+# ~1.5x steady-state there — data models default to the scan path) — so
+# when the kernel IS requested, tile as soon as a full tile exists.
 ROW_TILE_MIN_ROWS = 2048
 ROW_TILE = 1024  # Mosaic alignment unit for 1-D VMEM column slices
 
@@ -506,11 +565,14 @@ def _pallas_block_chains(n_chains, n_vars, cols, row_tile=0):
     widest C ∈ {512, 384, 256, 128, n_chains} that divides n_chains and
     fits the budget; below 128 lanes the VPU underfills, so small models
     always get ≥128 (or all chains if fewer)."""
-    from ..ops.hmc_pallas import VMEM_LIMIT
+    from ..ops.hmc_pallas import VMEM_COLUMN_BUDGET, VMEM_LIMIT
 
     col_bytes = sum(4 * int(np.prod(c.shape)) for c in cols)
     n_max = max((int(c.shape[0]) for c in cols), default=0)
     act_rows = min(n_max, row_tile) if row_tile else n_max
+    if row_tile and col_bytes > VMEM_COLUMN_BUDGET:
+        # streamed run: only 2 double-buffer tile slots are VMEM-resident
+        col_bytes = 2 * row_tile * col_bytes // max(n_max, 1)
     dim_pad = (n_vars + 7) // 8 * 8
     # ~6 state buffers + the per-lane mass-scale input (7 dim_pad-rows)
     per_lane = 4 * (7 * dim_pad + 8 * act_rows + 64)

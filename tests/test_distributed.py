@@ -9,8 +9,6 @@ import socket
 import subprocess
 import sys
 
-import pytest
-
 WORKER = os.path.join(os.path.dirname(__file__), "_dist_worker.py")
 
 
@@ -20,7 +18,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(600)
+# the real timeout is communicate(timeout=570) below — pytest-timeout is
+# not installed here, so a mark would be a silent no-op (round-3 advisor)
 def test_two_process_sharded_sample(tmp_path):
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
