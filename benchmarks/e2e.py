@@ -141,6 +141,8 @@ def run_config(name, n_chains_default):
     t1 = time.perf_counter()
     draws = chains * tr.n_iterations
     try:
+        # diagnostics run device-side on the device-resident samples —
+        # no host transfer needed for a sample→diagnose workflow
         d = tr.diagnostics()
         min_ess = float(min(x.effective_sample_size for x in d))
         max_rhat = float(max(x.r_hat for x in d))
@@ -151,8 +153,13 @@ def run_config(name, n_chains_default):
         min_ess = max_rhat = float("nan")
         min_ess_bulk = max_rhat_rank = float("nan")
     diag_s = time.perf_counter() - t1
+    # explicit host materialization of the full trace (lazy on the
+    # Trace): a real consumer pays this only if it needs host draws
+    tr.chains
     wall = time.perf_counter() - t0
-    timings = tr.timings or {}
+    timings = dict(tr.timings or {})
+    timings["transfer_s"] = round(
+        (timings.get("transfer_s") or 0.0) + (tr.transfer_s or 0.0), 3)
     sample_s = timings.get("sample_s", tr.walltime)
     # the ESS estimators clip autocorrelation at 0, capping ESS at
     # chains×iterations; when the cap binds the capped value is a lower

@@ -158,7 +158,16 @@ def _diagnostics_device(chains, max_lag: int, split: bool,
             return 0.5 * (left + right + 1).astype(chains.dtype)
 
         ranks = jax.vmap(ranks_1d, in_axes=1, out_axes=1)(srt, flat)
-        z = ndtri((ranks - 0.375) / (s_total + 0.25))
+        # symmetric tail evaluation: at S ≳ 10⁷ draws, the top rank's
+        # fraction (S−0.375)/(S+0.25) rounds to 1.0 in f32 and
+        # ndtri(1.0) = ∞ would poison every downstream moment; evaluate
+        # the *smaller* tail (exact in f32: S − r is an exact integer
+        # difference below 2²⁴) and mirror the sign
+        num_lo = ranks - 0.375
+        num_hi = (s_total - ranks) + 0.625
+        p_small = jnp.minimum(num_lo, num_hi) / (s_total + 0.25)
+        z = ndtri(p_small)                     # ≤ 0 by construction
+        z = jnp.where(num_lo <= num_hi, z, -z)
         chains = z.reshape(m, n, k)
 
     # two-pass global centering per parameter (exact to O(eps·sd))
@@ -193,10 +202,20 @@ def _diagnostics_device(chains, max_lag: int, split: bool,
 
 
 class Trace:
-    def __init__(self, chains: np.ndarray, model, compiled, config,
+    def __init__(self, chains, model, compiled, config,
                  mass=None, stats=None, warmup_stats=None, step_size=None,
                  collect_idx=None, walltime: Optional[float] = None):
-        self.chains = np.asarray(chains)   # (n_chains, n_iters, n_collect)
+        # (n_chains, n_iters, n_collect); kept device-resident until a
+        # host consumer asks — diagnostics run on device, so a
+        # sample→diagnose workflow never pays the device→host transfer
+        # of the full trace (400 MB over a remote-device tunnel for the
+        # funnel e2e config)
+        self._chains_src = chains
+        self._chains_host = (chains if isinstance(chains, np.ndarray)
+                             else None)
+        #: wall seconds the host materialization took (set on first
+        #: access of .chains)
+        self.transfer_s: Optional[float] = None
         self.model = model
         self.compiled = compiled
         self.config = config
@@ -209,16 +228,12 @@ class Trace:
         #: per-phase wall-clock breakdown set by the driver:
         #: build_s / compile_s / warmup_s / sample_s / transfer_s
         self.timings: Optional[dict] = None
-        #: device-resident copy of the sample array, when the driver
-        #: produced one — lets diagnostics run on device without a
-        #: host→device re-upload of the trace
-        self._device_chains = None
 
     @staticmethod
     def from_result(model, compiled, result, config, collect_idx=None,
                     walltime=None) -> "Trace":
         t = Trace(
-            chains=np.asarray(result.samples),
+            chains=result.samples,
             model=model, compiled=compiled, config=config,
             mass=jax.tree.map(
                 lambda x: np.asarray(x) if x is not None else None,
@@ -227,19 +242,28 @@ class Trace:
             warmup_stats=jax.tree.map(np.asarray, result.warmup_stats),
             step_size=result.step_size, collect_idx=collect_idx,
             walltime=walltime)
-        if (isinstance(result.samples, jax.Array)
-                and result.samples.is_fully_addressable):
-            t._device_chains = result.samples
         return t
 
     # -- basic shape ------------------------------------------------------
     @property
+    def chains(self) -> np.ndarray:
+        """Host copy of the draws, materialized on first access (the
+        device→host transfer is timed into `transfer_s`)."""
+        if self._chains_host is None:
+            import time as _time
+
+            t0 = _time.perf_counter()
+            self._chains_host = np.asarray(self._chains_src)
+            self.transfer_s = _time.perf_counter() - t0
+        return self._chains_host
+
+    @property
     def n_chains(self) -> int:
-        return self.chains.shape[0]
+        return self._chains_src.shape[0]
 
     @property
     def n_iterations(self) -> int:
-        return self.chains.shape[1]
+        return self._chains_src.shape[1]
 
     def thin(self, n: int) -> "Trace":
         t = Trace(self.chains[:, ::n, :], self.model, self.compiled,
@@ -274,8 +298,11 @@ class Trace:
         if rank_normalized:
             split = True
         if device:
-            chains = self._device_chains
-            if chains is None:
+            src = self._chains_src
+            if (isinstance(src, jax.Array)
+                    and src.is_fully_addressable):
+                chains = src
+            else:
                 chains = jnp.asarray(self.chains)
             r_hat, ess = _diagnostics_device(
                 chains, 100, split, rank_normalized)
