@@ -136,8 +136,11 @@ def run_config(name, n_chains_default):
     chunk = 100 if name == "glmm_10k_latents" else None
 
     t0 = time.perf_counter()
+    # sync_compile: a throwaway execution of each program keeps deferred
+    # backend compiles (the remote compile helper acks before finishing)
+    # out of warmup_s/sample_s — phases then measure device work
     tr = model.sample(cfg, n_chains=chains, seed=0, collect_idx=collect,
-                      chunk_iters=chunk)
+                      chunk_iters=chunk, sync_compile=True)
     t1 = time.perf_counter()
     draws = chains * tr.n_iterations
     try:

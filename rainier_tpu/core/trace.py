@@ -146,18 +146,31 @@ def _diagnostics_device(chains, max_lag: int, split: bool,
 
         s_total = m * n
         flat = chains.reshape(s_total, k)
-        srt = jnp.sort(flat, axis=0)
 
-        def ranks_1d(sv, xv):
-            # method='sort' turns each lookup batch into one extra
-            # lax.sort instead of 10M strided binary-search gathers
-            left = jnp.searchsorted(sv, xv, side="left", method="sort")
-            right = jnp.searchsorted(sv, xv, side="right", method="sort")
-            # average rank over ties, 1-based: mean of left+1 .. right
-            # (f32 draws tie often — they are quantized to ~eps·|x|)
-            return 0.5 * (left + right + 1).astype(chains.dtype)
+        def ranks_1d(xv):
+            # ONE key-value sort + two cumulative extrema + one scatter,
+            # instead of sort + 2× searchsorted(method='sort') (= 5 full
+            # bitonic sorts): measured 12.3 s → 3.3 s for the funnel e2e
+            # shape (10.24M × 10) on v5e.  Average rank over ties
+            # (f32 draws tie often — they are quantized to ~eps·|x|):
+            # each sorted position's rank is the mean of its tie-run's
+            # 1-based positions, found via a forward cummax over
+            # run-start indices and a reverse cummin over run-end
+            # indices; the scatter applies the inverse sort permutation.
+            perm = jnp.argsort(xv)
+            sv = xv[perm]
+            i = jnp.arange(s_total, dtype=jnp.int32)
+            new_run = jnp.concatenate(
+                [jnp.ones(1, bool), sv[1:] != sv[:-1]])
+            left = jax.lax.cummax(jnp.where(new_run, i, 0))
+            run_end = jnp.concatenate(
+                [new_run[1:], jnp.ones(1, bool)])
+            right = jax.lax.cummin(
+                jnp.where(run_end, i, s_total), reverse=True)
+            avg = (0.5 * (left + right)).astype(chains.dtype) + 1.0
+            return jnp.zeros(s_total, chains.dtype).at[perm].set(avg)
 
-        ranks = jax.vmap(ranks_1d, in_axes=1, out_axes=1)(srt, flat)
+        ranks = jax.vmap(ranks_1d, in_axes=1, out_axes=1)(flat)
         # symmetric tail evaluation: at S ≳ 10⁷ draws, the top rank's
         # fraction (S−0.375)/(S+0.25) rounds to 1.0 in f32 and
         # ndtri(1.0) = ∞ would poison every downstream moment; evaluate

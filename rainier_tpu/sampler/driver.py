@@ -316,7 +316,8 @@ def _chain_sharding(mesh):
 
 def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
            collect_idx=None, dtype=None, mesh=None, progress=None,
-           kernel: str = "scan", chunk_iters: Optional[int] = None):
+           kernel: str = "scan", chunk_iters: Optional[int] = None,
+           sync_compile: bool = False):
     """Run inference on `model`; returns a Trace.
 
     `mesh`: a jax.sharding.Mesh with a 'chains' axis shards the chain
@@ -335,6 +336,14 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
     Use for runs whose single fused program would execute for minutes —
     the remote TPU runtime kills workers on very long single programs
     (docs/internals.md).
+    `sync_compile`: run each compiled program once (discarding the
+    result) before its timed execution, attributing the throwaway to
+    compile_s.  On remote-device platforms AOT `.compile()` can return
+    before the backend compile actually finishes, silently shifting
+    tens of seconds of compile into warmup_s/sample_s; the throwaway
+    (deterministic — identical keys give identical work) pins the real
+    compile cost where it belongs.  Benchmarks set this; interactive use
+    should not (it doubles device time).
     """
 
     from ..core.trace import Trace
@@ -426,6 +435,11 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
                 if sharding is not None else global_config.jit(warm_b)
             warm_exec = jit_w.lower(keys, cols).compile()
             entry["warm"] = warm_exec
+            if sync_compile:
+                # throwaway execution: forces the (possibly deferred)
+                # backend compile to completion inside the compile_s
+                # window; the timed run below repeats identical work
+                _device_sync(warm_exec(keys, cols).step_size)
             timings["compile_s"] += _time.perf_counter() - t_compile
 
         t_warm = _time.perf_counter()
@@ -456,6 +470,8 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
             # shardings flow from the (committed) warmup-product arrays
             samp_exec = global_config.jit(samp_b).lower(wp, cols).compile()
             entry["samp"] = samp_exec
+            if sync_compile:
+                _device_sync(samp_exec(wp, cols)[0])
             timings["compile_s"] += _time.perf_counter() - t_compile
 
         t_run = _time.perf_counter()
@@ -478,7 +494,8 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
     else:
         result = _chunked_sample(lpg, cd.n_vars, cfg, dtype, keys,
                                  collect_idx, sharding, progress,
-                                 n_chains, chunk_iters, timings)
+                                 n_chains, chunk_iters, timings,
+                                 sync_compile=sync_compile)
     walltime = _time.perf_counter() - t0
     # device→host transfer of the trace (over the remote-device tunnel
     # when one is in play) is a real cost; attribute it explicitly
@@ -759,7 +776,7 @@ def _pallas_sample(model, cfg: C.SamplerConfig, n_chains, seed,
 
 def _chunked_sample(lpg, n_vars, cfg, dtype, keys, collect_idx, sharding,
                     progress, n_chains, chunk_iters=None,
-                    timings=None) -> ChainResult:
+                    timings=None, sync_compile=False) -> ChainResult:
     """Chunked path: warmup AND sampling run as a sequence of
     bounded-length device programs with host syncs between them.
 
@@ -778,11 +795,25 @@ def _chunked_sample(lpg, n_vars, cfg, dtype, keys, collect_idx, sharding,
         v = jax.vmap(fn, axis_name=CHAIN_AXIS, in_axes=in_axes)
         return global_config.jit(v)
 
-    t_warm = _time.perf_counter()
     W = cfg.warmup_iterations
     wchunk = min(chunk_iters or W, W)
-    carry = _jit(init_fn)(keys)
+    init_j = _jit(init_fn)
     seg = _jit(segment_fn, in_axes=(0, None))
+    fin_j = _jit(finish_fn)
+    if sync_compile and timings is not None:
+        # throwaway pass over init + first segment + finish so their
+        # (possibly deferred) backend compiles land in compile_s, not
+        # warmup_s; the remainder-shaped segment (if W % wchunk != 0)
+        # still compiles inside the timed loop
+        t_c = _time.perf_counter()
+        c0 = init_j(keys)
+        c0 = seg(c0, tuple(m[:wchunk] for m in masks))
+        _device_sync(c0[0])
+        _device_sync(fin_j(c0).step_size)
+        timings["compile_s"] = (timings.get("compile_s", 0.0)
+                                + _time.perf_counter() - t_c)
+    t_warm = _time.perf_counter()
+    carry = init_j(keys)
     done = 0
     while done < W:
         mslice = tuple(m[done:done + wchunk] for m in masks)
@@ -793,7 +824,7 @@ def _chunked_sample(lpg, n_vars, cfg, dtype, keys, collect_idx, sharding,
             progress.refresh("warmup", min(done, W), W, carry[6],
                              np.asarray(jax.vmap(current_step_size)(
                                  carry[2])))
-    wp: WarmupProduct = _jit(finish_fn)(carry)
+    wp: WarmupProduct = fin_j(carry)
     _device_sync(wp.step_size)
     if timings is not None:
         timings["warmup_s"] = _time.perf_counter() - t_warm
@@ -801,7 +832,6 @@ def _chunked_sample(lpg, n_vars, cfg, dtype, keys, collect_idx, sharding,
         progress.refresh("warmup complete", W, W, wp.warmup_stats,
                          wp.step_size)
 
-    t_sample = _time.perf_counter()
     thin = max(cfg.thin, 1)
     n_out = cfg.iterations // thin
     if chunk_iters:
@@ -814,6 +844,12 @@ def _chunked_sample(lpg, n_vars, cfg, dtype, keys, collect_idx, sharding,
     sstats0 = jax.vmap(lambda e: stats_init(dtype, e))(
         wp.warmup_stats.prev_energy)
     carry = SampleCarry(wp.key, wp.chain, wp.extra, sstats0)
+    if sync_compile and timings is not None:
+        t_c = _time.perf_counter()
+        _device_sync(sfn(carry, wp.mass, wp.step_size)[1])
+        timings["compile_s"] = (timings.get("compile_s", 0.0)
+                                + _time.perf_counter() - t_c)
+    t_sample = _time.perf_counter()
     pieces = []
     done = 0
     while done < n_out:
