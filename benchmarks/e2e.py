@@ -111,17 +111,17 @@ def run_config(name, n_chains_default):
         cfg = SamplerConfig(500, 500, sampler=NUTS(max_depth=8))
         chains, collect = min(n_chains_default, 256), None
     elif name == "glmm_10k_latents":
-        # NUTS + full 500/500 budget: fixed 8-step trajectories leave the
-        # hierarchy's global scale poorly mixed (measured r-hat 1.39 for
-        # HMC(8) 300+300 vs 1.05 for NUTS 500+500; the latent_vec
-        # parameterization is already non-centered, which beats centered
-        # r-hat 4.0 here).
+        # NUTS + the model's VIP-centered group effects (lam=1.0,
+        # models.glmm_large): with 5 obs/group the data pins each effect
+        # tighter than its prior, so centered geometry is
+        # near-independent.  The non-centered form (lam=0) measured
+        # rank-r̂ 3.9-5.1 on mu/log-sd at 400+400 and produced chains
+        # initialized in saturated likelihood tails (sd*z explodes the
+        # Poisson rate) that never recovered — the r4 round's stuck-chain
+        # investigation in docs/performance.md.
         from rainier_tpu.sampler.config import DualAvgStepSize
 
         model = M.glmm_large()
-        # delta=0.9 eliminates the divergences the 0.8 target produces on
-        # this hierarchy (measured: 34→0 on a 500-latent scale model) and
-        # the longer warmup is what moves the global-scale r̂
         cfg = SamplerConfig(1000, 1000, sampler=NUTS(max_depth=8),
                             step_size=DualAvgStepSize(delta=0.9))
         chains = min(n_chains_default, 128)
@@ -143,19 +143,40 @@ def run_config(name, n_chains_default):
                       chunk_iters=chunk, sync_compile=True)
     t1 = time.perf_counter()
     draws = chains * tr.n_iterations
-    try:
-        # diagnostics run device-side on the device-resident samples —
-        # no host transfer needed for a sample→diagnose workflow
-        d = tr.diagnostics()
+
+    # diagnostics run device-side on the device-resident samples — no
+    # host transfer needed for a sample→diagnose workflow.  Separate
+    # failure domains (a rank-pipeline failure must not NaN the classic
+    # estimators), and separate compile from execution: the first pass
+    # pays the two diag programs' compiles (tens of seconds over a
+    # remote compile service), the second pass measures the pipeline.
+    def _try(fn):
+        try:
+            return fn()
+        except Exception:
+            return None
+
+    def _run_diags():
+        d = _try(lambda: tr.diagnostics())
+        dr = _try(lambda: tr.diagnostics(rank_normalized=True))
+        return d, dr
+
+    _run_diags()
+    diag_compile_s = time.perf_counter() - t1
+    t1 = time.perf_counter()
+    d, dr = _run_diags()
+    if d is not None:
         min_ess = float(min(x.effective_sample_size for x in d))
         max_rhat = float(max(x.r_hat for x in d))
-        dr = tr.diagnostics(rank_normalized=True)
+    else:
+        min_ess = max_rhat = float("nan")
+    if dr is not None:
         min_ess_bulk = float(min(x.effective_sample_size for x in dr))
         max_rhat_rank = float(max(x.r_hat for x in dr))
-    except Exception:
-        min_ess = max_rhat = float("nan")
+    else:
         min_ess_bulk = max_rhat_rank = float("nan")
     diag_s = time.perf_counter() - t1
+    diag_compile_s -= diag_s
     # explicit host materialization of the full trace (lazy on the
     # Trace): a real consumer pays this only if it needs host draws
     tr.chains
@@ -169,7 +190,14 @@ def run_config(name, n_chains_default):
     # bound, NOT evidence of n·m independent draws — so the rate built
     # from it is reported only as a lower bound (round-3 verdict #4)
     ess_capped = bool(min_ess >= 0.99 * draws)
-    bulk_capped = bool(min_ess_bulk >= 0.99 * draws)
+    # the rank pipeline diagnoses a thinned subsample above 2^24 pooled
+    # draws (trace._RANK_DIAG_MAX_DRAWS), so its ESS caps at the
+    # *thinned* draw count chains x ceil(iters/thin)
+    from rainier_tpu.core.trace import _RANK_DIAG_MAX_DRAWS
+
+    thin = -(-draws // _RANK_DIAG_MAX_DRAWS)
+    rank_cap = chains * (-(-tr.n_iterations // thin))
+    bulk_capped = bool(min_ess_bulk >= 0.99 * rank_cap)
     rec = {
         "config": name,
         "n_vars": model.n_vars,
@@ -185,6 +213,7 @@ def run_config(name, n_chains_default):
         "sample_s": round(sample_s, 2),
         "transfer_s": timings.get("transfer_s"),
         "diag_s": round(diag_s, 2),
+        "diag_compile_s": round(diag_compile_s, 2),
         # throughput: device rate (sampling phase only — warmup is its
         # own phase) and honest end-to-end rate
         "samples_per_s": round(draws / sample_s),

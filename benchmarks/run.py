@@ -34,6 +34,12 @@ def _sync(x):
     np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
 
 
+def _timed(fn, *args):
+    t0 = time.perf_counter()
+    _sync(fn(*args))
+    return time.perf_counter() - t0
+
+
 def _eval_loop(f, iters):
     """Chain `iters` sequential evals inside one jit (data dependence via
     an infinitesimal gradient nudge) — measures sustained device latency/
@@ -65,13 +71,20 @@ def bench_model(name: str, build_fn, n_chains: int):
     _sync(_cfg.jit(f)(q))
     build_s = time.perf_counter() - t0
 
-    # sequential-eval latency (JMH run() analogue): 1000 dependent evals
-    seq_iters = 1000
-    seq = _eval_loop(f, seq_iters)
-    _sync(seq(q))
-    t0 = time.perf_counter()
-    _sync(seq(q))
-    single_us = (time.perf_counter() - t0) / seq_iters * 1e6
+    # sequential-eval latency (JMH run() analogue).  One timed program
+    # carries a fixed ~35 ms dispatch+sync round trip over the remote
+    # device tunnel — at 1000 evals that pollutes the per-eval number by
+    # ~35 µs, dwarfing the actual eval.  Difference two program lengths
+    # instead: (t_long − t_short)/(n_long − n_short) cancels every fixed
+    # cost exactly and measures the marginal dependent-eval latency.
+    n_short, n_long = 1000, 21_000
+    seq_s = _eval_loop(f, n_short)
+    seq_l = _eval_loop(f, n_long)
+    _sync(seq_s(q))
+    _sync(seq_l(q))
+    t_s = min(_timed(seq_s, q), _timed(seq_s, q))
+    t_l = min(_timed(seq_l, q), _timed(seq_l, q))
+    single_us = max(t_l - t_s, 0.0) / (n_long - n_short) * 1e6
 
     # batched throughput: chain batch of sequential evals
     bat_iters = 50

@@ -29,6 +29,15 @@ class Diagnostics(NamedTuple):
     effective_sample_size: float
 
 
+#: pooled-draw bound for the device rank-normalized pipeline: ranks stay
+#: exact integers in f32 below 2²⁴, and the vmapped multi-lane sort stays
+#: within the XLA compiler's capacity (a 10-lane sort of 8.2e7 rows per
+#: lane fails to compile on v5e; 1.0-1.7e6 rows/lane × 10 lanes runs in
+#: ~3 s).  Traces bigger than this are iteration-thinned for the rank
+#: diagnostics only — see Trace.diagnostics.
+_RANK_DIAG_MAX_DRAWS = 1 << 24
+
+
 def _variogram(chains: np.ndarray, max_lag: int) -> np.ndarray:
     """(max_lag, k) variogram Var_t(l) = Σ_{m,t} (x_{t+l} − x_t)² /
     (m·(n−l)) — the Stan-manual estimator, computed from lagged cross
@@ -305,7 +314,18 @@ class Trace:
         compiled device program (`_diagnostics_device`) on the
         device-resident samples when the driver kept them, avoiding
         both the host scipy cost and a re-upload; ``device=False``
-        uses the float64 host oracle."""
+        uses the float64 host oracle.
+
+        When the pooled draw count exceeds 2²⁴ (~16.7M), the
+        rank-normalized pipeline diagnoses an iteration-thinned
+        subsample brought under that bound: above it f32 ranks stop
+        being exact integers, and the batched 10-lane sort of 820M
+        elements exceeds the XLA compiler's capacity (measured on the
+        8192-chain funnel trace).  Thinned r̂ estimates the same
+        quantity; thinned ESS is a *lower bound* for the full-trace
+        ESS (discarding draws cannot add information), consistent with
+        the estimator-cap semantics documented in
+        docs/performance.md."""
         if self.n_chains < 2:
             raise ValueError("diagnostics requires multiple chains")
         if rank_normalized:
@@ -317,6 +337,11 @@ class Trace:
                 chains = src
             else:
                 chains = jnp.asarray(self.chains)
+            if rank_normalized:
+                total = chains.shape[0] * chains.shape[1]
+                thin = -(-total // _RANK_DIAG_MAX_DRAWS)
+                if thin > 1:
+                    chains = chains[:, ::thin, :]
             r_hat, ess = _diagnostics_device(
                 chains, 100, split, rank_normalized)
             r_hat, ess = np.asarray(r_hat), np.asarray(ess)

@@ -17,6 +17,17 @@ STEP_SIZE_UPDATE_DENOM = 0.05
 ACCEPT_PROB_UPDATE_DENOM = 10.0
 DECAY_RATE = 0.75
 
+#: lower bound on the adapted log step size.  A chain that rejects every
+#: proposal (e.g. one initialized deep in a saturated likelihood tail)
+#: drives avg_error -> delta and log_step to ~ -delta*sqrt(it)/0.05 —
+#: hundreds of nats negative within tens of iterations — so exp()
+#: underflows f32 to exactly 0; a window-close reset then takes
+#: log(0) = -inf and poisons every later update (NaN step sizes, chains
+#: that report a divergence on every sampling iteration).  Flooring at
+#: e^-46 ~ 1e-20 keeps the tuner's state finite while being far below
+#: any step size that could ever integrate anything.
+MIN_LOG_STEP = -46.0
+
 
 class DualAvgState(NamedTuple):
     log_step: jax.Array
@@ -29,12 +40,13 @@ class DualAvgState(NamedTuple):
 def dual_avg_init(step_size) -> DualAvgState:
     step_size = jnp.asarray(step_size)
     z = jnp.zeros_like(step_size)
+    log_step = jnp.maximum(jnp.log(step_size), MIN_LOG_STEP)
     return DualAvgState(
-        log_step=jnp.log(step_size),
+        log_step=log_step,
         log_step_bar=z,
         avg_error=z,
         iteration=z,
-        shrinkage_target=jnp.log(10.0 * step_size))
+        shrinkage_target=log_step + jnp.log(10.0))
 
 
 def dual_avg_update(s: DualAvgState, log_accept_prob, delta: float
@@ -44,8 +56,10 @@ def dual_avg_update(s: DualAvgState, log_accept_prob, delta: float
     avg_mult = 1.0 / (it + ACCEPT_PROB_UPDATE_DENOM)
     step_mult = it ** (-DECAY_RATE)
     avg_error = (1.0 - avg_mult) * s.avg_error + avg_mult * (delta - accept)
-    log_step = s.shrinkage_target - (
-        avg_error * jnp.sqrt(it) / STEP_SIZE_UPDATE_DENOM)
+    log_step = jnp.maximum(
+        s.shrinkage_target
+        - avg_error * jnp.sqrt(it) / STEP_SIZE_UPDATE_DENOM,
+        MIN_LOG_STEP)
     log_step_bar = step_mult * log_step + (1.0 - step_mult) * s.log_step_bar
     return DualAvgState(log_step, log_step_bar, avg_error, it,
                         s.shrinkage_target)
