@@ -191,12 +191,11 @@ def run_config(name, n_chains_default):
     # from it is reported only as a lower bound (round-3 verdict #4)
     ess_capped = bool(min_ess >= 0.99 * draws)
     # the rank pipeline diagnoses a thinned subsample above 2^24 pooled
-    # draws (trace._RANK_DIAG_MAX_DRAWS), so its ESS caps at the
-    # *thinned* draw count chains x ceil(iters/thin)
-    from rainier_tpu.core.trace import _RANK_DIAG_MAX_DRAWS
+    # draws, so its ESS caps at the thinned draw count — shared helper
+    # so this arithmetic cannot drift from trace.py / the artifact guard
+    from rainier_tpu.core.trace import rank_diag_cap
 
-    thin = -(-draws // _RANK_DIAG_MAX_DRAWS)
-    rank_cap = chains * (-(-tr.n_iterations // thin))
+    rank_cap = rank_diag_cap(chains, tr.n_iterations)
     bulk_capped = bool(min_ess_bulk >= 0.99 * rank_cap)
     rec = {
         "config": name,

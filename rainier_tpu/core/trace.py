@@ -38,6 +38,42 @@ class Diagnostics(NamedTuple):
 _RANK_DIAG_MAX_DRAWS = 1 << 24
 
 
+def rank_diag_plan(n_chains: int, n_iterations: int):
+    """(thin, n_kept) for the rank-normalized device pipeline.
+
+    Iteration thinning that brings the pooled draw count under
+    ``_RANK_DIAG_MAX_DRAWS``, with ``n_kept = ceil(n_iterations / thin)``
+    iterations surviving — the single source of truth shared by
+    `Trace.diagnostics`, `benchmarks/e2e.py` and the committed-artifact
+    guard (`tests/test_artifacts.py`), so the "capped ESS is a lower
+    bound, not a rate" arithmetic cannot drift between them.
+
+    Guarantees ``n_chains * n_kept <= _RANK_DIAG_MAX_DRAWS`` (the exact
+    integer-rank bound) and ``n_kept >= 2`` (the split-chain halving
+    needs at least one column per half); raises ValueError when the
+    chain count alone makes that impossible."""
+    if n_chains * n_iterations <= _RANK_DIAG_MAX_DRAWS:
+        return 1, n_iterations
+    max_kept = _RANK_DIAG_MAX_DRAWS // n_chains
+    if max_kept < 2:
+        raise ValueError(
+            f"rank-normalized diagnostics need >= 2 post-thin iterations "
+            f"per chain but {n_chains} chains allow at most {max_kept} "
+            f"under the {_RANK_DIAG_MAX_DRAWS} pooled-draw bound; use "
+            f"diagnostics(device=False) (f64 host path) or fewer chains")
+    thin = -(-n_iterations // max_kept)
+    n_kept = -(-n_iterations // thin)
+    return thin, n_kept
+
+
+def rank_diag_cap(n_chains: int, n_iterations: int) -> int:
+    """The value at which the rank-normalized bulk-ESS estimator
+    saturates for a (n_chains, n_iterations) trace — pooled post-thin
+    draw count.  An ESS at this cap is a lower bound, never a rate."""
+    _, n_kept = rank_diag_plan(n_chains, n_iterations)
+    return n_chains * n_kept
+
+
 def _variogram(chains: np.ndarray, max_lag: int) -> np.ndarray:
     """(max_lag, k) variogram Var_t(l) = Σ_{m,t} (x_{t+l} − x_t)² /
     (m·(n−l)) — the Stan-manual estimator, computed from lagged cross
@@ -338,8 +374,8 @@ class Trace:
             else:
                 chains = jnp.asarray(self.chains)
             if rank_normalized:
-                total = chains.shape[0] * chains.shape[1]
-                thin = -(-total // _RANK_DIAG_MAX_DRAWS)
+                thin, _ = rank_diag_plan(chains.shape[0],
+                                         chains.shape[1])
                 if thin > 1:
                     chains = chains[:, ::thin, :]
             r_hat, ess = _diagnostics_device(

@@ -61,10 +61,19 @@ def leapfrog(state: ChainState, p, step_size, n_steps, mass: MassState,
 
 
 def log_accept_prob(h0, h1):
-    """min(0, −ΔH) with NaN ⇒ −∞ (LeapFrog.logAcceptanceProb)."""
+    """min(0, −ΔH) with non-finite energy ⇒ −∞.
+
+    The reference only maps NaN ⇒ −∞ (LeapFrog.logAcceptanceProb:138-142),
+    which catches inf−inf but NOT h0=+inf with finite h1: there
+    −ΔH = +∞ ⇒ accept-prob 1, so a kinetic-energy overflow (f32 momentum
+    draw against a near-singular adapted Σ̂) would *certainly accept* an
+    arbitrarily bad proposal — the dense-mass chain-explosion failure.
+    In f64 on the JVM this is unreachable in practice; in f32 on TPU it
+    is not, so any non-finite energy on either side is a divergence."""
     delta = h1 - h0
     la = jnp.minimum(-delta, 0.0)
-    return jnp.where(jnp.isnan(delta), -jnp.inf, la)
+    bad = ~jnp.isfinite(h0) | ~jnp.isfinite(h1)
+    return jnp.where(bad, -jnp.inf, la)
 
 
 class TransitionResult(NamedTuple):

@@ -129,7 +129,19 @@ def mass_from_welford(w: WelfordState, kind: str,
         return diag_mass(jnp.maximum(v, ridge))
     if kind == "dense":
         cov = welford_covariance(w)
-        cov = cov + ridge * jnp.eye(cov.shape[0], dtype=cov.dtype)
+        # Stan-style shrinkage toward a small identity:
+        #   Σ_reg = n/(n+5)·Σ̂ + 1e-3·5/(n+5)·I
+        # The reference uses the raw sample covariance
+        # (CovarianceEstimator.covariance) — safe in f64 on the JVM, but
+        # in f32 an early, short adaptation window can produce a
+        # near-singular Σ̂ whose Cholesky has ~0 diagonal, making the
+        # momentum draw L⁻ᵀz astronomically large and overflowing the
+        # kinetic energy.  Shrinkage bounds the condition number; as the
+        # window grows the estimate converges to the sample covariance.
+        n = jnp.maximum(w.count, 1.0)
+        shrink = n / (n + 5.0)
+        eye = jnp.eye(cov.shape[0], dtype=cov.dtype)
+        cov = shrink * cov + (1e-3 * (1.0 - shrink) + ridge) * eye
         return dense_mass(cov)
     raise ValueError(kind)
 

@@ -62,11 +62,11 @@ def test_e2e_artifact_current():
     for r in recs:
         assert r.get("warmup_s") is not None, f"{r['config']}: warmup_s null"
         # a capped ESS estimator must never be presented as a rate; the
-        # rank pipeline thins above 2^24 pooled draws, so its cap is the
-        # thinned draw count (trace._RANK_DIAG_MAX_DRAWS)
-        draws = r["chains"] * r["iterations"]
-        thin = -(-draws // (1 << 24))
-        rank_cap = r["chains"] * (-(-r["iterations"] // thin))
+        # cap arithmetic is shared with trace.py/e2e.py so it cannot
+        # silently drift from the pipeline's actual thinning
+        from rainier_tpu.core.trace import rank_diag_cap
+
+        rank_cap = rank_diag_cap(r["chains"], r["iterations"])
         if r.get("min_ess_bulk", 0) >= 0.99 * rank_cap:
             assert r.get("ess_per_s") is None, (
                 f"{r['config']}: capped ESS printed as a rate")

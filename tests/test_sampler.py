@@ -93,6 +93,13 @@ def test_dense_mass_on_correlated_gaussian():
                         mass_matrix=DenseMassMatrixTuner())
     res = run_raw(lpg, 2, cfg)
     qs = np.asarray(res.samples).reshape(-1, 2)
+    # moment assertions in the style of LeapFrogTest.scala:15-79 — and
+    # explicitly finite/unit-scale, so a chain explosion (huge-variance
+    # samples that happen to correlate) fails loudly rather than
+    # squeaking past a correlation-only check
+    assert np.all(np.isfinite(qs))
+    assert np.all(np.abs(qs.mean(axis=0)) < 0.3)
+    assert np.all(np.abs(qs.var(axis=0) - 1.0) < 0.5), qs.var(axis=0)
     emp = np.cov(qs.T)
     assert abs(emp[0, 1] / np.sqrt(emp[0, 0] * emp[1, 1]) - rho) < 0.1
     # adapted dense covariance should capture the correlation
