@@ -177,9 +177,15 @@ def run_config(name, n_chains_default):
         min_ess_bulk = max_rhat_rank = float("nan")
     diag_s = time.perf_counter() - t1
     diag_compile_s -= diag_s
-    # explicit host materialization of the full trace (lazy on the
-    # Trace): a real consumer pays this only if it needs host draws
-    tr.chains
+    # device-side posterior summary (mean/sd/quantiles) instead of
+    # materializing the full trace on the host: the r4 funnel_hmc@8192
+    # record spent 192 of 208 s (92% of wall) pulling 3.3 GB of draws
+    # over the remote-device tunnel that no benchmark consumer read.
+    # A consumer that DOES need host draws still pays tr.chains
+    # explicitly; `summary_s` is the summarize-phase cost.
+    t_sum = time.perf_counter()
+    summ = tr.summary()
+    summary_s = time.perf_counter() - t_sum
     wall = time.perf_counter() - t0
     timings = dict(tr.timings or {})
     timings["transfer_s"] = round(
@@ -208,9 +214,18 @@ def run_config(name, n_chains_default):
         # warmup + sampling programs with one sync at the boundary)
         "build_s": timings.get("build_s"),
         "compile_s": timings.get("compile_s"),
+        # throwaway execution that flushes deferred backend compiles
+        # (compile remainder + one program run; own key so compile_s
+        # stays a pure AOT-compile measurement)
+        "compile_sync_s": timings.get("compile_sync_s"),
         "warmup_s": timings.get("warmup_s"),
         "sample_s": round(sample_s, 2),
         "transfer_s": timings.get("transfer_s"),
+        "summary_s": round(summary_s, 2),
+        # posterior location of the first tracked parameter, so the
+        # record carries statistical evidence, not just rates
+        "param0_mean": round(float(summ.mean[0]), 4),
+        "param0_sd": round(float(summ.sd[0]), 4),
         "diag_s": round(diag_s, 2),
         "diag_compile_s": round(diag_compile_s, 2),
         # throughput: device rate (sampling phase only — warmup is its
@@ -247,9 +262,19 @@ def main():
     ap.add_argument("--fresh", action="store_true",
                     help="one subprocess per config (compile-service "
                     "isolation; docs/internals.md)")
+    ap.add_argument("--no-cache", action="store_true",
+                    help="disable the persistent XLA compilation cache "
+                    "(measures cold compiles)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if not args.no_cache:
+        # persistent compilation cache: a warm second run deserializes
+        # executables instead of recompiling (compile_s 13-67 s -> <2 s
+        # for the NUTS configs); records carry compile_s either way
+        from rainier_tpu import config as _gc
+
+        _gc.enable_compilation_cache()
     if args.fresh:
         import subprocess
         failed = []
@@ -258,6 +283,8 @@ def main():
                    "--chains", str(args.chains)]
             if args.cpu:
                 cmd.append("--cpu")
+            if args.no_cache:
+                cmd.append("--no-cache")
             rc = subprocess.run(cmd, check=False).returncode
             if rc != 0:
                 failed.append(name)

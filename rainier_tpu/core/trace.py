@@ -259,6 +259,48 @@ def _diagnostics_device(chains, max_lag: int, split: bool,
     return r_hat, ess
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def _summary_device(chains, quantiles: tuple, thin: int):
+    """Per-parameter posterior summary as ONE device program: pooled
+    mean/sd (two-pass centered, same conditioning treatment as
+    `_diagnostics_device`) and quantiles via a per-parameter sort.
+
+    This is the device-side answer to the trace-transfer wall (round-4
+    verdict #5): a sample→summarize workflow moves (k,) and (q, k)
+    arrays to the host instead of the full (m, n, k) trace — for the
+    8192-chain funnel e2e config that is ~500 bytes instead of 3.3 GB
+    over the remote-device tunnel."""
+    m, n, k = chains.shape
+    flat = chains.reshape(m * n, k)
+    mu1 = jnp.mean(flat, axis=0)
+    mu = mu1 + jnp.mean(flat - mu1, axis=0)
+    x = flat - mu
+    var = jnp.sum(x * x, axis=0) / (m * n - 1)
+    # quantiles sort a thinned subsample when the pooled draw count
+    # exceeds the multi-lane sort capacity bound (same plan as the rank
+    # diagnostics); moments above stay exact over the full trace
+    s = chains[:, ::thin, :].reshape(-1, k) if thin > 1 else flat
+    sv = jnp.sort(s, axis=0)
+    qs = jnp.asarray(quantiles, chains.dtype)
+    # linear-interpolation quantiles on the sorted pooled draws
+    pos = qs * (s.shape[0] - 1)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, s.shape[0] - 1)
+    frac = (pos - lo)[:, None]
+    qv = sv[lo, :] * (1 - frac) + sv[hi, :] * frac
+    return mu, jnp.sqrt(var), qv
+
+
+class TraceSummary(NamedTuple):
+    """Host-side posterior summary (small arrays; see Trace.summary)."""
+
+    mean: np.ndarray       # (k,)
+    sd: np.ndarray         # (k,)
+    quantiles: np.ndarray  # (q, k)
+    probs: tuple           # the q quantile probabilities
+    n_draws: int           # pooled draws the moments were computed over
+
+
 class Trace:
     def __init__(self, chains, model, compiled, config,
                  mass=None, stats=None, warmup_stats=None, step_size=None,
@@ -390,6 +432,30 @@ class Trace:
             r_hat, ess = _diagnostics_all(chains)
         return [Diagnostics(float(r), float(e))
                 for r, e in zip(r_hat, ess)]
+
+    def summary(self, quantiles: tuple = (0.025, 0.25, 0.5, 0.75, 0.975)
+                ) -> TraceSummary:
+        """Per-parameter pooled posterior mean/sd/quantiles, computed on
+        device from the device-resident samples — the `summary_only`
+        consumption path: a sample→summarize workflow transfers (k,) and
+        (q, k) host arrays instead of materializing the full
+        (chains, iterations, k) trace (3.3 GB for the 8192-chain funnel
+        e2e config; the transfer dominated 92% of its r4 wall-clock).
+
+        Quantiles sort a thinned subsample above the sort-capacity
+        bound (`rank_diag_plan`); with default settings the induced
+        quantile error is far below MC error.  The reference has no
+        summary API (Trace.scala keeps all draws host-side); this is a
+        deviation PARITY.md documents under data-scale behavior."""
+        src = self._chains_src
+        if not (isinstance(src, jax.Array) and src.is_fully_addressable):
+            src = jnp.asarray(self.chains)
+        thin, _ = rank_diag_plan(src.shape[0], src.shape[1])
+        mu, sd, qv = _summary_device(src, tuple(quantiles), thin)
+        return TraceSummary(mean=np.asarray(mu), sd=np.asarray(sd),
+                            quantiles=np.asarray(qv),
+                            probs=tuple(quantiles),
+                            n_draws=src.shape[0] * src.shape[1])
 
     def accept_rate(self) -> np.ndarray:
         from ..sampler.stats import accept_rate

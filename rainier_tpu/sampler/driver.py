@@ -337,12 +337,15 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
     the remote TPU runtime kills workers on very long single programs
     (docs/internals.md).
     `sync_compile`: run each compiled program once (discarding the
-    result) before its timed execution, attributing the throwaway to
-    compile_s.  On remote-device platforms AOT `.compile()` can return
-    before the backend compile actually finishes, silently shifting
-    tens of seconds of compile into warmup_s/sample_s; the throwaway
-    (deterministic — identical keys give identical work) pins the real
-    compile cost where it belongs.  Benchmarks set this; interactive use
+    result) before its timed execution, attributed to its own
+    `compile_sync_s` timing key.  On remote-device platforms AOT
+    `.compile()` can return before the backend compile actually
+    finishes, silently shifting tens of seconds of compile into
+    warmup_s/sample_s; the throwaway (deterministic — identical keys
+    give identical work) flushes the deferred compile first.
+    `compile_sync_s` conflates the compile remainder with one full
+    program execution, which is why it is not folded into `compile_s`
+    (round-4 advisor finding).  Benchmarks set this; interactive use
     should not (it doubles device time).
     """
 
@@ -435,12 +438,19 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
                 if sharding is not None else global_config.jit(warm_b)
             warm_exec = jit_w.lower(keys, cols).compile()
             entry["warm"] = warm_exec
+            timings["compile_s"] += _time.perf_counter() - t_compile
             if sync_compile:
                 # throwaway execution: forces the (possibly deferred)
-                # backend compile to completion inside the compile_s
-                # window; the timed run below repeats identical work
+                # backend compile to completion before the timed run;
+                # attributed to its OWN key because it conflates the
+                # deferred-compile remainder with one full execution of
+                # the program (round-4 advisor: billing it to compile_s
+                # double-charged long programs)
+                t_sync = _time.perf_counter()
                 _device_sync(warm_exec(keys, cols).step_size)
-            timings["compile_s"] += _time.perf_counter() - t_compile
+                timings["compile_sync_s"] = (
+                    timings.get("compile_sync_s", 0.0)
+                    + _time.perf_counter() - t_sync)
 
         t_warm = _time.perf_counter()
         wp: WarmupProduct = warm_exec(keys, cols)
@@ -470,9 +480,13 @@ def sample(model, cfg: C.SamplerConfig, n_chains: int = 4, seed: int = 0,
             # shardings flow from the (committed) warmup-product arrays
             samp_exec = global_config.jit(samp_b).lower(wp, cols).compile()
             entry["samp"] = samp_exec
-            if sync_compile:
-                _device_sync(samp_exec(wp, cols)[0])
             timings["compile_s"] += _time.perf_counter() - t_compile
+            if sync_compile:
+                t_sync = _time.perf_counter()
+                _device_sync(samp_exec(wp, cols)[0])
+                timings["compile_sync_s"] = (
+                    timings.get("compile_sync_s", 0.0)
+                    + _time.perf_counter() - t_sync)
 
         t_run = _time.perf_counter()
         samples, sstats, final_q = samp_exec(wp, cols)
@@ -802,16 +816,18 @@ def _chunked_sample(lpg, n_vars, cfg, dtype, keys, collect_idx, sharding,
     fin_j = _jit(finish_fn)
     if sync_compile and timings is not None:
         # throwaway pass over init + first segment + finish so their
-        # (possibly deferred) backend compiles land in compile_s, not
-        # warmup_s; the remainder-shaped segment (if W % wchunk != 0)
-        # still compiles inside the timed loop
+        # (possibly deferred) backend compiles land outside warmup_s;
+        # attributed to compile_sync_s (compile remainder + one segment
+        # execution — see the fast path's note).  The remainder-shaped
+        # segment (if W % wchunk != 0) still compiles inside the timed
+        # loop
         t_c = _time.perf_counter()
         c0 = init_j(keys)
         c0 = seg(c0, tuple(m[:wchunk] for m in masks))
         _device_sync(c0[0])
         _device_sync(fin_j(c0).step_size)
-        timings["compile_s"] = (timings.get("compile_s", 0.0)
-                                + _time.perf_counter() - t_c)
+        timings["compile_sync_s"] = (timings.get("compile_sync_s", 0.0)
+                                     + _time.perf_counter() - t_c)
     t_warm = _time.perf_counter()
     carry = init_j(keys)
     done = 0
@@ -847,8 +863,8 @@ def _chunked_sample(lpg, n_vars, cfg, dtype, keys, collect_idx, sharding,
     if sync_compile and timings is not None:
         t_c = _time.perf_counter()
         _device_sync(sfn(carry, wp.mass, wp.step_size)[1])
-        timings["compile_s"] = (timings.get("compile_s", 0.0)
-                                + _time.perf_counter() - t_c)
+        timings["compile_sync_s"] = (timings.get("compile_sync_s", 0.0)
+                                     + _time.perf_counter() - t_c)
     t_sample = _time.perf_counter()
     pieces = []
     done = 0

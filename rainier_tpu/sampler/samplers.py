@@ -52,6 +52,23 @@ def ring_sample(rb: RingBuffer, key):
     return rb.buf[i]
 
 
+def ring_add_many(rb: RingBuffer, values, valid) -> RingBuffer:
+    """Append ``values[i]`` where ``valid[i]`` (a masked bulk ring_add —
+    used to share counted trajectory lengths across the chain axis).
+    Order preserved for the valid entries; invalid slots are skipped via
+    a prefix-sum of write offsets."""
+    size = rb.buf.shape[0]
+    valid = valid.astype(jnp.int32)
+    offs = jnp.cumsum(valid) - valid          # 0-based slot per valid row
+    pos = (rb.idx + offs) % size
+    # invalid rows scatter to an out-of-range index (dropped by XLA)
+    pos = jnp.where(valid == 1, pos, size)
+    buf = rb.buf.at[pos].set(values.astype(rb.buf.dtype), mode="drop")
+    n_new = jnp.sum(valid)
+    return RingBuffer(buf=buf, idx=(rb.idx + n_new) % size,
+                      count=jnp.minimum(rb.count + n_new, size))
+
+
 # ---------------------------------------------------------------------------
 # single fused leapfrog step (KDK); chaining these is exactly an L-step
 # leapfrog because adjacent half-kicks merge, at one grad eval per step
@@ -140,17 +157,40 @@ def _ehmc_step(cfg: C.EHMC, key, chain, eps, mass, extra, lpg, warmup):
     p0 = sample_momentum(mass, km, n, chain.q.dtype)
     h0 = chain.potential + kinetic(mass, p0)
     if warmup:
+        p_count = cfg.p_count
+        if cfg.synchronized:
+            # pooled-length mode (see the ring_add_many below): each
+            # counting lane's length lands in EVERY lane's buffer, so a
+            # batch of n lanes at the reference's per-lane rate 0.1
+            # would refresh each buffer n× too fast — and pay n× the
+            # counting trajectories.  Scale so the whole batch
+            # contributes p_count·buf_size lengths per iteration (the
+            # same *fractional* buffer refresh rate as the reference's
+            # per-chain scheme), floored at the per-lane rate for small
+            # batches.
+            try:
+                n_lanes = jax.lax.psum(1, "chains")
+                p_count = jnp.minimum(
+                    cfg.p_count,
+                    cfg.p_count * cfg.buf_size / n_lanes)
+            except NameError:
+                pass
         counting = (rb.count < rb.buf.shape[0]) | (
-            jax.random.uniform(kc, dtype=chain.q.dtype) < cfg.p_count)
+            jax.random.uniform(kc, dtype=chain.q.dtype) < p_count)
     else:
         counting = jnp.asarray(False)
     n_target = jnp.maximum(ring_sample(rb, kt), 1).astype(jnp.int32)
     if cfg.synchronized:
-        # a vmapped batch runs max(L) steps regardless (shorter lanes
-        # idle masked); share that max so every chain integrates it —
-        # free in wall-clock, still state-independent ⇒ valid MH
+        # share ONE empirical draw (lane 0's) across the whole batch:
+        # every chain integrates the same L ~ ring distribution, so the
+        # vmapped while_loop's trip count is that single draw — E[L]
+        # wall-clock per iteration instead of E[max over n_chains
+        # draws] ≈ the buffer's longest length (the r4 scheme pmax'd
+        # n independent draws, which saturated at the max and made
+        # every iteration pay the tail).  L remains independent of
+        # every chain's state ⇒ still a valid MH transition.
         try:
-            n_target = jax.lax.pmax(n_target, "chains")
+            n_target = jax.lax.all_gather(n_target, "chains")[0]
         except NameError:  # not under the driver's vmap (single chain)
             pass
     prop, p1, l_counted, n_grads = _ehmc_trajectory(
@@ -163,9 +203,29 @@ def _ehmc_step(cfg: C.EHMC, key, chain, eps, mass, extra, lpg, warmup):
     divergent = jnp.isinf(la) | jnp.isnan(la)
     energy = jnp.where(accept, h1, h0)
     if warmup:
-        rb = jax.tree.map(
-            lambda new, old: jnp.where(counting, new, old),
-            ring_add(rb, l_counted.astype(rb.buf.dtype)), rb)
+        shared = False
+        if cfg.synchronized:
+            # pool counted lengths across the chain axis: every lane's
+            # buffer receives every counting lane's length.  The
+            # buffer-fill phase collapses from buf_size all-count
+            # iterations (each up to max_steps grad evals per lane with
+            # an unadapted step size — 85% of all EHMC warmup evals in
+            # the r4 ehmc_fair capture) to ~ceil(buf_size/n_chains)
+            # iterations, after which only the p_count refresh rate
+            # pays counting trajectories.  Same extension rationale as
+            # synchronized replay: the vmapped batch is one sampler,
+            # and L stays independent of any chain's state.
+            try:
+                all_l = jax.lax.all_gather(l_counted, "chains")
+                all_c = jax.lax.all_gather(counting, "chains")
+                rb = ring_add_many(rb, all_l, all_c)
+                shared = True
+            except NameError:  # not under the driver's vmap
+                pass
+        if not shared:
+            rb = jax.tree.map(
+                lambda new, old: jnp.where(counting, new, old),
+                ring_add(rb, l_counted.astype(rb.buf.dtype)), rb)
     res = TransitionResult(out, la, accept, divergent, energy)
     return res, rb, n_grads
 

@@ -237,6 +237,29 @@ def test_device_diagnostics_match_host_oracle():
                     < 0.02 * h.effective_sample_size), (kwargs, h, d)
 
 
+def test_device_summary_matches_host():
+    """Trace.summary (device mean/sd/quantiles — the summary_only
+    consumption path that kills the trace-transfer wall) must match the
+    numpy host computation, including a concentrated column."""
+    from rainier_tpu.core.trace import Trace
+
+    rng = np.random.default_rng(7)
+    m, n, k = 4, 2000, 3
+    x = rng.normal(size=(m, n, k))
+    x[:, :, 1] += 500.0
+    x[:, :, 2] = np.exp(0.4 * x[:, :, 2])
+    tr = Trace(x.astype(np.float32), None, None, None)
+    s = tr.summary()
+    flat = x.reshape(-1, k)
+    assert s.n_draws == m * n
+    np.testing.assert_allclose(s.mean, flat.mean(axis=0),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(s.sd, flat.std(axis=0, ddof=1), rtol=2e-3)
+    want_q = np.quantile(flat, s.probs, axis=0)
+    np.testing.assert_allclose(s.quantiles, want_q, rtol=2e-3,
+                               atol=2e-3 * np.abs(want_q).max())
+
+
 def test_variogram_conditioning_concentrated_posterior():
     """Host variogram on f32 chains with |mean|/sd ~ 1000 must match the
     naive per-lag estimator on the float64 originals — the round-3

@@ -239,12 +239,14 @@ def test_divergence_counting():
 
 
 def test_ehmc_synchronized_lengths():
-    """EHMC(synchronized=True), the TPU default: per-iteration empirical
-    trajectory lengths are pmax-shared across the vmapped chain batch —
-    free in wall-clock (shorter lanes idle at max(L) anyway) and still a
-    valid MH kernel (L independent of state).  Moments must match the
-    reference's per-chain replay mode, and the synchronized run must
-    integrate at least as many gradient steps."""
+    """EHMC(synchronized=True), the TPU default: every iteration shares
+    ONE empirical trajectory-length draw (lane 0's) across the vmapped
+    chain batch, and counted lengths are pooled into every lane's ring
+    buffer — the batch pays E[L] wall-clock per iteration instead of
+    E[max over lanes] while L stays independent of every chain's state
+    (still a valid MH kernel).  Moments must match the reference's
+    per-chain replay mode; in the synchronized run every lane must have
+    integrated the identical step count (the shared draw)."""
     rng = np.random.default_rng(3)
     data = rng.normal(1.5, 2.0, size=128)
     mu = rt.Normal(0, 10).latent()
@@ -256,11 +258,15 @@ def test_ehmc_synchronized_lengths():
                             sampler=EHMC(max_steps=64, synchronized=sync))
         tr = model.sample(cfg, n_chains=8, seed=0)
         res[sync] = (tr.mean(mu), tr.mean(sigma),
-                     float(np.sum(np.asarray(tr.stats.grad_evals))))
+                     np.asarray(tr.stats.grad_evals))
         assert max(d.r_hat for d in tr.diagnostics()) < 1.05
     assert abs(res[True][0] - res[False][0]) < 0.15
     assert abs(res[True][1] - res[False][1]) < 0.2
-    assert res[True][2] >= res[False][2]
+    # shared draw ⇒ every lane ran the same number of gradient steps
+    sync_evals = res[True][2]
+    assert np.all(sync_evals == sync_evals[0])
+    # per-chain replay draws independently ⇒ lanes differ (w.h.p.)
+    assert len(set(res[False][2].tolist())) > 1
 
 
 def test_chunked_execution_matches_fused():
