@@ -176,6 +176,29 @@ def bench_data_pallas():
     return _time_runs(run, args)
 
 
+# peak numbers for the roofline fields (TPU v5e / "v5 lite", public
+# specs: 197 TFLOP/s bf16 MXU, 819 GB/s HBM).  The funnel kernel is
+# elementwise (VPU) work, so %-of-MXU-peak is an upper-bound roofline,
+# not an efficiency target — docs/performance.md §Roofline interprets
+# the numbers.
+PEAK_BF16_FLOPS = 197e12
+PEAK_HBM_BYTES_S = 819e9
+
+
+def _flops_per_eval():
+    """XLA cost-analysis FLOP estimate of ONE density+gradient eval of
+    the 10-dim funnel (the unit the headline rate counts)."""
+    lpg = funnel_lpg()
+    try:
+        c = jax.jit(lpg).lower(jnp.zeros((10,), jnp.float32)) \
+            .compile().cost_analysis()
+        if isinstance(c, list):
+            c = c[0]
+        return float(c.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
 def main():
     grad_evals = N_CHAINS * N_ITERS * N_STEPS
     dt_xla = bench_xla_scan()
@@ -188,13 +211,24 @@ def main():
     dt = min(dt_xla, dt_pallas)
     kernel = "pallas-fused" if dt_pallas < dt_xla else "xla-scan"
     rate = grad_evals / dt
-    print(json.dumps({
+    rec = {
         "metric": "leapfrog grad evals/s/chip (Neal's funnel 10-dim, "
                   f"HMC {N_STEPS} steps, {N_CHAINS} chains)",
         "value": round(rate),
         "unit": "grad_evals_per_s",
         "vs_baseline": round(rate / BASELINE_GRAD_EVALS_PER_S, 2),
-    }))
+    }
+    # roofline fields (round-4 verdict #7): achieved FLOP/s = rate x
+    # XLA-estimated FLOPs per eval; % of the chip's bf16 MXU peak.
+    # The funnel is VPU (elementwise) work, so the MXU fraction is an
+    # upper-bound statement — see docs/performance.md §Roofline.
+    fpe = _flops_per_eval()
+    if fpe:
+        rec["flops_per_eval"] = round(fpe)
+        rec["achieved_gflops"] = round(rate * fpe / 1e9, 1)
+        rec["pct_bf16_peak"] = round(100 * rate * fpe
+                                     / PEAK_BF16_FLOPS, 3)
+    print(json.dumps(rec))
     print(f"# kernel {kernel}: xla {grad_evals/dt_xla/1e9:.2f}B/s, "
           f"pallas {grad_evals/dt_pallas/1e9:.2f}B/s; "
           f"device {jax.devices()[0]}", file=sys.stderr)

@@ -122,6 +122,14 @@ def main():
 
     fam = families()
     sizes = [int(s) for s in args.sizes.split(",")]
+    # Warm the backend OUTSIDE any timed window: the process's first
+    # device computation pays backend/tunnel session setup — measured
+    # 230-460 s on the remote TPU platform *regardless of program*
+    # (reproduced with the same trivial program first at n=100 and at
+    # n=1000; the non-first points build in <3 s).  The r4 sweep's
+    # "build_slow" n=100 rows were exactly this warmup mis-attributed
+    # to the first (family, n) point of each --fresh subprocess.
+    _sync(jnp.ones(()) + 1)
     for name in names:
         for n in sizes:
             try:
