@@ -111,19 +111,21 @@ def run_config(name, n_chains_default):
         cfg = SamplerConfig(500, 500, sampler=NUTS(max_depth=8))
         chains, collect = min(n_chains_default, 256), None
     elif name == "glmm_10k_latents":
-        # NUTS + the model's VIP-centered group effects (lam=1.0,
-        # models.glmm_large): with 5 obs/group the data pins each effect
-        # tighter than its prior, so centered geometry is
-        # near-independent.  The non-centered form (lam=0) measured
-        # rank-r̂ 3.9-5.1 on mu/log-sd at 400+400 and produced chains
-        # initialized in saturated likelihood tails (sd*z explodes the
-        # Poisson rate) that never recovered — the r4 round's stuck-chain
-        # investigation in docs/performance.md.
-        from rainier_tpu.sampler.config import DualAvgStepSize
-
+        # NUTS(max_depth=10, delta=0.8) + the model's VIP-centered group
+        # effects (lam=1.0, models.glmm_large).  The r3/r4 failures were
+        # the *sampler config*, not the geometry: overdispersed chains
+        # start up to ~400 posterior SDs from the mode in (mu, log sd),
+        # and depth-8 trajectories at delta=0.9's small steps could not
+        # make the trek — chains crawled toward the mode for the whole
+        # run (r4: classic r̂ 121 with a stuck divergent chain; after
+        # the non-finite-energy accept fix, r̂ 7 with chains spread
+        # along the approach path).  Depth-10 trajectories at the
+        # standard 0.8 target converge cleanly at 128 chains
+        # (measured r5: rank-r̂ 1.011, 0 divergences, ESS/s ~227 —
+        # 75x the r4 record); 2000 sampling iterations push the
+        # rank-r̂ sampling-noise floor below the 1.01 acceptance bar.
         model = M.glmm_large()
-        cfg = SamplerConfig(1000, 1000, sampler=NUTS(max_depth=8),
-                            step_size=DualAvgStepSize(delta=0.9))
+        cfg = SamplerConfig(1000, 2000, sampler=NUTS(max_depth=10))
         chains = min(n_chains_default, 128)
         collect = list(range(8))  # track a subset; 10k×chains×iters is TBs
     else:

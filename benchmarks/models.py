@@ -166,13 +166,18 @@ def glmm_large(n_groups: int = 10_000, obs_per_group: int = 5,
     group count.
 
     ``lam`` is the VIP interpolation weight for the group effects
-    (core/reparam.py): the default 1.0 (centered) is what 5 obs/group of
-    Poisson(~5) data calls for — each group's likelihood pins its effect
-    to ~0.2 on the log scale, tighter than the 0.3 prior sd, so the
-    centered geometry is near-independent while the non-centered form
-    (lam=0) couples mu/sd to all 10k raw latents (measured r4: rank-r̂
-    3.9-5.1 on mu/log-sd at 400+400 NUTS, plus catastrophic inits —
-    sd*z explodes the Poisson rate for ordinary draws of log-sd)."""
+    (core/reparam.py): the default 1.0 (centered) fits 5 obs/group of
+    Poisson(~5) data — each group's likelihood pins its effect to ~0.2
+    on the log scale, tighter than the 0.3 prior sd — while the
+    non-centered form (lam=0) couples mu/sd to all 10k raw latents
+    (measured r4: rank-r̂ 3.9-5.1 on mu/log-sd at 400+400 NUTS, plus
+    catastrophic inits — sd*z explodes the Poisson rate for ordinary
+    draws of log-sd).  Centered parameterization alone did NOT converge
+    the r4 e2e config (rank-r̂ 3.27): overdispersed inits start
+    hundreds of posterior SDs from the (mu, log sd) mode and depth-8
+    NUTS at delta=0.9 could not cover the distance; depth-10 at the
+    standard delta=0.8 does (r5: rank-r̂ ~1.01 at 128 chains, 0
+    divergences).  See benchmarks/e2e.py glmm_10k_latents."""
     rng = np.random.default_rng(seed)
     n = n_groups * obs_per_group
     mu = rt.Normal(0, 1).latent()

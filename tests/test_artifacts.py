@@ -52,7 +52,7 @@ def test_e2e_artifact_current():
     # measurement-defining fields must match the harness as committed
     expected_iters = {"funnel_hmc": 10_000, "readme_regression_nuts": 1000,
                       "eight_schools_nuts": 1000, "ehmc_default": 1000,
-                      "logistic_100k": 500, "glmm_10k_latents": 1000}
+                      "logistic_100k": 500, "glmm_10k_latents": 2000}
     for cfg, iters in expected_iters.items():
         for r in by_config[cfg]:
             assert r["iterations"] == iters, (
