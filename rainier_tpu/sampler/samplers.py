@@ -60,11 +60,17 @@ def ring_add_many(rb: RingBuffer, values, valid) -> RingBuffer:
     size = rb.buf.shape[0]
     valid = valid.astype(jnp.int32)
     offs = jnp.cumsum(valid) - valid          # 0-based slot per valid row
-    pos = (rb.idx + offs) % size
-    # invalid rows scatter to an out-of-range index (dropped by XLA)
-    pos = jnp.where(valid == 1, pos, size)
-    buf = rb.buf.at[pos].set(values.astype(rb.buf.dtype), mode="drop")
     n_new = jnp.sum(valid)
+    # when more than `size` values arrive at once (e.g. a 256-lane batch
+    # filling a 100-slot buffer) the ring wraps and positions collide;
+    # scatter order for duplicate indices is unspecified, so keep only
+    # the LAST `size` valid entries — exactly what sequential ring_add
+    # would leave behind
+    keep = (valid == 1) & (offs >= n_new - size)
+    pos = (rb.idx + offs) % size
+    # dropped rows scatter to an out-of-range index (mode="drop")
+    pos = jnp.where(keep, pos, size)
+    buf = rb.buf.at[pos].set(values.astype(rb.buf.dtype), mode="drop")
     return RingBuffer(buf=buf, idx=(rb.idx + n_new) % size,
                       count=jnp.minimum(rb.count + n_new, size))
 

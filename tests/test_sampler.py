@@ -269,6 +269,49 @@ def test_ehmc_synchronized_lengths():
     assert len(set(res[False][2].tolist())) > 1
 
 
+def test_ring_add_many():
+    """Masked bulk ring append (pooled EHMC length sharing): valid
+    entries land in order at the write cursor, invalid ones are skipped,
+    wrap-around and the count cap behave like repeated ring_add."""
+    from rainier_tpu.sampler.samplers import (RingBuffer, ring_add,
+                                              ring_add_many, ring_init)
+
+    rb = ring_init(4, jnp.float32)
+    vals = jnp.asarray([10.0, 20.0, 30.0, 40.0, 50.0, 60.0])
+    valid = jnp.asarray([True, False, True, True, False, True])
+    got = ring_add_many(rb, vals, valid)
+    # reference: sequential ring_add of the valid values
+    want = rb
+    for v, ok in zip(vals, valid):
+        if ok:
+            want = ring_add(want, v)
+    np.testing.assert_array_equal(np.asarray(got.buf),
+                                  np.asarray(want.buf))
+    assert int(got.idx) == int(want.idx)
+    assert int(got.count) == int(want.count)
+    # second bulk append wraps the cursor
+    got2 = ring_add_many(got, jnp.asarray([70.0, 80.0]),
+                         jnp.asarray([True, True]))
+    want2 = ring_add(ring_add(want, 70.0), 80.0)
+    np.testing.assert_array_equal(np.asarray(got2.buf),
+                                  np.asarray(want2.buf))
+    assert int(got2.idx) == int(want2.idx)
+    assert int(got2.count) == int(want2.count)
+    # appending MORE values than the buffer holds (the 256-lane batch
+    # filling a 100-slot buffer): ring_add_many must leave exactly what
+    # sequential ring_add of all values would — the last `size` entries
+    big = jnp.arange(1.0, 12.0)  # 11 values into a 4-slot ring
+    got3 = ring_add_many(ring_init(4, jnp.float32), big,
+                         jnp.ones((11,), bool))
+    want3 = ring_init(4, jnp.float32)
+    for v in big:
+        want3 = ring_add(want3, v)
+    np.testing.assert_array_equal(np.asarray(got3.buf),
+                                  np.asarray(want3.buf))
+    assert int(got3.idx) == int(want3.idx)
+    assert int(got3.count) == int(want3.count)
+
+
 def test_chunked_execution_matches_fused():
     """chunk_iters bounds device-program length (warmup and sampling run
     as segment programs with host syncs — the remote TPU runtime kills
