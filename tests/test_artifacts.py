@@ -3,7 +3,7 @@
 Round 2 and round 3 both shipped benchmark JSONLs that predated the
 config or kernel fix that invalidated them ("the guard fired and the red
 number shipped anyway").  This test makes that failure mode a CI failure:
-every committed round-4 artifact must
+every committed current-round artifact (see ROUND below) must
 
 * exist, parse, and contain a record for every config/model its harness
   currently defines (no silently-partial sweeps),
@@ -24,7 +24,7 @@ import pytest
 BENCH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "benchmarks")
 
-ROUND = "r4"
+ROUND = "r5"
 
 
 def _load(name):
