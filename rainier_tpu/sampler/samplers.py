@@ -163,7 +163,7 @@ def _ehmc_step(cfg: C.EHMC, key, chain, eps, mass, extra, lpg, warmup):
     p0 = sample_momentum(mass, km, n, chain.q.dtype)
     h0 = chain.potential + kinetic(mass, p0)
     if warmup:
-        p_count = cfg.p_count
+        pooled_p = None
         if cfg.synchronized:
             # pooled-length mode (see the ring_add_many below): each
             # counting lane's length lands in EVERY lane's buffer, so a
@@ -176,13 +176,25 @@ def _ehmc_step(cfg: C.EHMC, key, chain, eps, mass, extra, lpg, warmup):
             # batches.
             try:
                 n_lanes = jax.lax.psum(1, "chains")
-                p_count = jnp.minimum(
+                pooled_p = jnp.minimum(
                     cfg.p_count,
                     cfg.p_count * cfg.buf_size / n_lanes)
             except NameError:
                 pass
-        counting = (rb.count < rb.buf.shape[0]) | (
-            jax.random.uniform(kc, dtype=chain.q.dtype) < p_count)
+        u = jax.random.uniform(kc, dtype=chain.q.dtype)
+        if pooled_p is not None:
+            # pooled mode also drops the reference's fill-before-replay
+            # requirement (!steps.full ⇒ count, EHMC.scala:29-30):
+            # forcing every lane to count at iteration 0 costs each
+            # lane a full-length U-turn search at the unadapted step
+            # size (~max_steps grad evals — the largest warmup cost
+            # left after pooling).  An empty buffer replays
+            # min_steps-length trajectories instead, and the pooled
+            # counting events fill every lane's buffer with real
+            # lengths within ~buf_size/(p_count·n_lanes) iterations.
+            counting = u < pooled_p
+        else:
+            counting = (rb.count < rb.buf.shape[0]) | (u < cfg.p_count)
     else:
         counting = jnp.asarray(False)
     n_target = jnp.maximum(ring_sample(rb, kt), 1).astype(jnp.int32)
