@@ -102,6 +102,26 @@ def test_glmm_gather_path():
     assert abs(tr.mean(sd) - true_sd) < 0.25
 
 
+def test_glmm_benchmark_model_converges():
+    """The actual benchmark model (benchmarks.models.glmm_large, the
+    10k-latent BASELINE config 5) at oracle scale: NUTS must converge
+    and recover the synthesis truth (mu = log 5, sd = 0.3).  This is
+    the CPU pin of the r5 TPU e2e record (e2e_tpu_r5.jsonl:
+    rank-r̂ 1.0046 at 128 chains / 10k groups)."""
+    from benchmarks.models import glmm_large
+    from rainier_tpu.sampler import NUTS
+
+    model = glmm_large(n_groups=200)
+    cfg = SamplerConfig(warmup_iterations=500, iterations=500,
+                        sampler=NUTS(max_depth=8))
+    tr = model.sample(cfg, n_chains=4, seed=0, collect_idx=[0, 1])
+    d = tr.diagnostics(rank_normalized=True)
+    assert max(x.r_hat for x in d) < 1.05
+    ch = np.asarray(tr.chains)
+    assert abs(ch[:, :, 0].mean() - np.log(5.0)) < 0.1     # mu
+    assert abs(np.exp(ch[:, :, 1].mean()) - 0.3) < 0.1     # sd
+
+
 def test_diagnostics_golden():
     """r̂/ESS formulas against independently hand-computed values on a
     fixed synthetic trace (Stan manual §30.3/30.4 arithmetic)."""
