@@ -109,7 +109,10 @@ def run_config(name, n_chains_default):
         # warmup (measured: HMC(8) r-hat 1.1-14, NUTS r-hat 1.003).
         model = M.logistic_regression()
         cfg = SamplerConfig(500, 500, sampler=NUTS(max_depth=8))
-        chains, collect = min(n_chains_default, 256), None
+        # 1024 chains fit comfortably (per-chain state is 11 params;
+        # the 100k x 10 design matrix is shared); NUTS batch-sync loss
+        # grows slowly with chains on this concentrated posterior
+        chains, collect = min(n_chains_default, 1024), None
     elif name == "glmm_10k_latents":
         # NUTS(max_depth=10, delta=0.8) + the model's VIP-centered group
         # effects (lam=1.0, models.glmm_large).  The r3/r4 failures were
@@ -126,7 +129,10 @@ def run_config(name, n_chains_default):
         # rank-r̂ sampling-noise floor below the 1.01 acceptance bar.
         model = M.glmm_large()
         cfg = SamplerConfig(1000, 2000, sampler=NUTS(max_depth=10))
-        chains = min(n_chains_default, 128)
+        # 512 chains x 10002 params of NUTS carry state is ~1 GB of
+        # HBM — well within v5e; wall grows sublinearly (batch pays the
+        # deepest tree either way) and ESS/s scales ~linearly
+        chains = min(n_chains_default, 512)
         collect = list(range(8))  # track a subset; 10k×chains×iters is TBs
     else:
         raise KeyError(name)
