@@ -186,6 +186,7 @@ def _diagnostics_device(chains, max_lag: int, split: bool,
         chains = jnp.concatenate(
             [chains[:, :half], chains[:, half:2 * half]], axis=0)
         m, n = 2 * m, half
+    ranks_ok = jnp.asarray(True)
     if rank_normalized:
         from jax.scipy.special import ndtri
 
@@ -213,9 +214,24 @@ def _diagnostics_device(chains, max_lag: int, split: bool,
             right = jax.lax.cummin(
                 jnp.where(run_end, i, s_total), reverse=True)
             avg = (0.5 * (left + right)).astype(chains.dtype) + 1.0
-            return jnp.zeros(s_total, chains.dtype).at[perm].set(avg)
+            rank_a = jnp.zeros(s_total, chains.dtype).at[perm].set(avg)
+            # independent cross-check: the classic sort + 2×searchsorted
+            # average-rank formulation.  XLA:TPU MISCOMPILES the fast
+            # path above at some shapes (round-5: (2048, 250, 11-lane)
+            # drops ~10% of the scatter writes / misapplies the inverse
+            # permutation — each primitive is correct in isolation, the
+            # fused composition is not, and optimization_barrier does
+            # not help).  Two formulations built from different
+            # primitives agreeing is the correctness belt; on
+            # disagreement the caller falls back to the f64 host
+            # oracle.
+            lo = jnp.searchsorted(sv, xv, side="left", method="sort")
+            hi = jnp.searchsorted(sv, xv, side="right", method="sort")
+            rank_b = 0.5 * (lo + hi + 1).astype(chains.dtype)
+            return rank_a, rank_b
 
-        ranks = jax.vmap(ranks_1d, in_axes=1, out_axes=1)(flat)
+        ranks, ranks_b = jax.vmap(ranks_1d, in_axes=1, out_axes=1)(flat)
+        ranks_ok = jnp.all(ranks == ranks_b)
         # symmetric tail evaluation: at S ≳ 10⁷ draws, the top rank's
         # fraction (S−0.375)/(S+0.25) rounds to 1.0 in f32 and
         # ndtri(1.0) = ∞ would poison every downstream moment; evaluate
@@ -256,7 +272,7 @@ def _diagnostics_device(chains, max_lag: int, split: bool,
     alive = jnp.cumprod((pts > 0.0).astype(x.dtype), axis=0)
     ac = jnp.sum(pts * alive, axis=0)
     ess = n * m / (1 + 2 * ac)
-    return r_hat, ess
+    return r_hat, ess, ranks_ok
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -420,9 +436,25 @@ class Trace:
                                          chains.shape[1])
                 if thin > 1:
                     chains = chains[:, ::thin, :]
-            r_hat, ess = _diagnostics_device(
+            r_hat, ess, ranks_ok = _diagnostics_device(
                 chains, 100, split, rank_normalized)
-            r_hat, ess = np.asarray(r_hat), np.asarray(ess)
+            if rank_normalized and not bool(ranks_ok):
+                # the two independent device rank formulations disagree
+                # — a known XLA:TPU miscompile at some trace shapes
+                # (see _diagnostics_device).  Recompute the (thinned)
+                # diagnostics on the f64 host oracle; slow but correct.
+                import warnings as _warnings
+
+                _warnings.warn(
+                    "device rank-normalization failed its cross-check "
+                    "(XLA:TPU miscompile at this trace shape); falling "
+                    "back to the float64 host pipeline", stacklevel=2)
+                ch = np.asarray(chains)
+                ch = _split_chains(ch)
+                ch = _rank_normalize(ch)
+                r_hat, ess = _diagnostics_all(ch)
+            else:
+                r_hat, ess = np.asarray(r_hat), np.asarray(ess)
         else:
             chains = self.chains
             if split:
