@@ -129,10 +129,12 @@ def run_config(name, n_chains_default):
         # rank-r̂ sampling-noise floor below the 1.01 acceptance bar.
         model = M.glmm_large()
         cfg = SamplerConfig(1000, 2000, sampler=NUTS(max_depth=10))
-        # 512 chains x 10002 params of NUTS carry state is ~1 GB of
-        # HBM — well within v5e; wall grows sublinearly (batch pays the
-        # deepest tree either way) and ESS/s scales ~linearly
-        chains = min(n_chains_default, 512)
+        # 128-chain cap: 512 chains x 10002-param NUTS reproducibly
+        # crashes the remote TPU worker ("TPU worker process crashed or
+        # restarted", 2x on a healthy device, r5) — the shared worker
+        # does not survive that program's footprint even though the
+        # arithmetic HBM budget (~1 GB of carry state) fits
+        chains = min(n_chains_default, 128)
         collect = list(range(8))  # track a subset; 10k×chains×iters is TBs
     else:
         raise KeyError(name)

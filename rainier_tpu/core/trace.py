@@ -37,6 +37,11 @@ class Diagnostics(NamedTuple):
 #: diagnostics only — see Trace.diagnostics.
 _RANK_DIAG_MAX_DRAWS = 1 << 24
 
+#: HBM budget (bytes) for the dual-formulation rank step's per-lane
+#: intermediates; lanes beyond it are processed in sequential chunks
+#: (see _diagnostics_device).
+_RANK_LANES_BUDGET = 2e9
+
 
 def rank_diag_plan(n_chains: int, n_iterations: int):
     """(thin, n_kept) for the rank-normalized device pipeline.
@@ -230,7 +235,24 @@ def _diagnostics_device(chains, max_lag: int, split: bool,
             rank_b = 0.5 * (lo + hi + 1).astype(chains.dtype)
             return rank_a, rank_b
 
-        ranks, ranks_b = jax.vmap(ranks_1d, in_axes=1, out_axes=1)(flat)
+        # the dual-formulation rank step holds ~10 S-length intermediates
+        # per lane; vmapping all k lanes at once OOMs HBM for the
+        # largest traces (measured: RESOURCE_EXHAUSTED at S=16.4M,
+        # k=10 on v5e with the 3.3 GB source trace resident).  Process
+        # lanes in sequential chunks sized to ~2 GB of intermediates.
+        lanes_chunk = max(1, min(k, int(_RANK_LANES_BUDGET
+                                        // (48 * s_total))))
+        if lanes_chunk >= k:
+            ranks, ranks_b = jax.vmap(ranks_1d, in_axes=1,
+                                      out_axes=1)(flat)
+        else:
+            k_pad = -(-k // lanes_chunk) * lanes_chunk
+            cols = jnp.pad(flat.T, ((0, k_pad - k), (0, 0)))
+            blocks = cols.reshape(k_pad // lanes_chunk, lanes_chunk,
+                                  s_total)
+            ra, rb = jax.lax.map(jax.vmap(ranks_1d), blocks)
+            ranks = ra.reshape(k_pad, s_total)[:k].T
+            ranks_b = rb.reshape(k_pad, s_total)[:k].T
         ranks_ok = jnp.all(ranks == ranks_b)
         # symmetric tail evaluation: at S ≳ 10⁷ draws, the top rank's
         # fraction (S−0.375)/(S+0.25) rounds to 1.0 in f32 and

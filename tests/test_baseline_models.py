@@ -257,6 +257,28 @@ def test_device_diagnostics_match_host_oracle():
                     < 0.02 * h.effective_sample_size), (kwargs, h, d)
 
 
+def test_rank_lanes_chunked_path_matches_host(monkeypatch):
+    """The sequential lane-chunked rank path (big-trace HBM guard in
+    _diagnostics_device) must produce the same diagnostics as the f64
+    host oracle.  Shrinking the budget forces chunking on a small
+    trace; a fresh shape forces a retrace under the patched constant."""
+    from rainier_tpu.core import trace as T
+
+    monkeypatch.setattr(T, "_RANK_LANES_BUDGET", 1.0)  # 1 lane per chunk
+    rng = np.random.default_rng(11)
+    m, n, k = 8, 322, 5   # deliberately unusual shape (fresh jit cache)
+    x = rng.normal(size=(m, n, k))
+    for t in range(1, n):
+        x[:, t] = 0.5 * x[:, t - 1] + rng.normal(size=(m, k))
+    tr = T.Trace(x.astype(np.float32), None, None, None)
+    dev = tr.diagnostics(rank_normalized=True)
+    host = tr.diagnostics(rank_normalized=True, device=False)
+    for d, h in zip(dev, host):
+        assert abs(d.r_hat - h.r_hat) < 2e-3 * h.r_hat
+        assert (abs(d.effective_sample_size - h.effective_sample_size)
+                < 0.02 * h.effective_sample_size)
+
+
 def test_device_summary_matches_host():
     """Trace.summary (device mean/sd/quantiles — the summary_only
     consumption path that kills the trace-transfer wall) must match the
