@@ -129,11 +129,11 @@ def run_config(name, n_chains_default):
         # rank-r̂ sampling-noise floor below the 1.01 acceptance bar.
         model = M.glmm_large()
         cfg = SamplerConfig(1000, 2000, sampler=NUTS(max_depth=10))
-        # 128-chain cap: 512 chains x 10002-param NUTS reproducibly
-        # crashes the remote TPU worker ("TPU worker process crashed or
-        # restarted", 2x on a healthy device, r5) — the shared worker
-        # does not survive that program's footprint even though the
-        # arithmetic HBM budget (~1 GB of carry state) fits
+        # 128-chain cap: both 256- and 512-chain x 10002-param NUTS
+        # reproducibly crash the remote TPU worker ("TPU worker process
+        # crashed or restarted", 3x on a healthy device, r5) — the
+        # shared worker does not survive that program's footprint even
+        # though the arithmetic HBM budget (~1 GB of carry state) fits
         chains = min(n_chains_default, 128)
         collect = list(range(8))  # track a subset; 10k×chains×iters is TBs
     else:
@@ -171,10 +171,23 @@ def run_config(name, n_chains_default):
         dr = _try(lambda: tr.diagnostics(rank_normalized=True))
         return d, dr
 
-    _run_diags()
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as _wlist:
+        _w.simplefilter("always")
+        d, dr = _run_diags()
     diag_compile_s = time.perf_counter() - t1
     t1 = time.perf_counter()
-    d, dr = _run_diags()
+    if any("cross-check" in str(x.message) for x in _wlist):
+        # the rank pipeline fell back to the f64 host oracle (device
+        # miscompile at this trace shape); the host pass has no compile
+        # to amortize, so do NOT pay it twice — keep the first pass's
+        # results and attribute its full cost to diag_s
+        diag_s_override = diag_compile_s
+        diag_compile_s = 0.0
+    else:
+        diag_s_override = None
+        d, dr = _run_diags()
     if d is not None:
         min_ess = float(min(x.effective_sample_size for x in d))
         max_rhat = float(max(x.r_hat for x in d))
@@ -185,8 +198,11 @@ def run_config(name, n_chains_default):
         max_rhat_rank = float(max(x.r_hat for x in dr))
     else:
         min_ess_bulk = max_rhat_rank = float("nan")
-    diag_s = time.perf_counter() - t1
-    diag_compile_s -= diag_s
+    if diag_s_override is not None:
+        diag_s = diag_s_override
+    else:
+        diag_s = time.perf_counter() - t1
+        diag_compile_s -= diag_s
     # device-side posterior summary (mean/sd/quantiles) instead of
     # materializing the full trace on the host: the r4 funnel_hmc@8192
     # record spent 192 of 208 s (92% of wall) pulling 3.3 GB of draws
