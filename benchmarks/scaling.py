@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--chains-per-device", type=int, default=256)
     ap.add_argument("--iters", type=int, default=500)
     ap.add_argument("--warmup", type=int, default=300)
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host mode: jax.distributed.initialize() "
+                    "from TPU pod env vars (or COORDINATOR_ADDRESS/"
+                    "NUM_PROCESSES/PROCESS_ID); run one process per "
+                    "host — THE one-command 1->N-host scaling capture")
     args = ap.parse_args()
 
     if args.cpu:
@@ -50,10 +55,27 @@ def main():
     from rainier_tpu.parallel import make_mesh
     from rainier_tpu.sampler import HMC, SamplerConfig
 
+    if args.distributed:
+        from rainier_tpu.parallel.distributed import initialize
+
+        initialize()  # env-driven; no-op when single-process
+
+    def emit(obj):
+        # multi-host: every process computes, process 0 reports
+        if jax.process_index() == 0:
+            print(json.dumps(obj), flush=True)
+
     n_dev = jax.device_count()
     counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= n_dev]
     if counts[-1] != n_dev:
         counts.append(n_dev)
+    if jax.process_count() > 1:
+        # multi-host: a mesh over a device subset would exclude some
+        # process's local devices (XLA requires every process's devices
+        # to participate), so each launch measures its full world; the
+        # 1-host baseline comes from a separate single-host launch and
+        # the operator divides the two per-device rates
+        counts = [n_dev]
 
     rng = np.random.default_rng(0)
     data = rng.normal(1.0, 2.0, size=256)
@@ -76,13 +98,15 @@ def main():
         dt = time.perf_counter() - t0
         rate = chains * args.iters / dt
         rates[nd] = rate
-        print(json.dumps({
+        emit({
             "devices": nd, "chains": chains, "wall_s": round(dt, 3),
             "samples_per_s": round(rate),
             "per_device": round(rate / nd),
             "mu": round(float(tr.mean(mu)), 3),
-        }), flush=True)
+        })
 
+    if len(counts) == 1:
+        return  # multi-host single-point launch: no in-run baseline
     base = rates[counts[0]] / counts[0]
     eff = (rates[counts[-1]] / counts[-1]) / base
     rec = {
@@ -98,7 +122,7 @@ def main():
         rec["note"] = ("virtual CPU devices share host cores: this run "
                        "validates harness mechanics, not hardware "
                        "scaling (the 80% target applies to real chips)")
-    print(json.dumps(rec), flush=True)
+    emit(rec)
 
 
 if __name__ == "__main__":
