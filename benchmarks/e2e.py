@@ -127,6 +127,11 @@ def run_config(name, n_chains_default):
         # (measured r5: rank-r̂ 1.011, 0 divergences, ESS/s ~227 —
         # 75x the r4 record); 2000 sampling iterations push the
         # rank-r̂ sampling-noise floor below the 1.01 acceptance bar.
+        # tuning probes rejected (r5, measured at 128 chains): pooled
+        # adaptation triples wall (warmup 549 s vs 112 s — per-iteration
+        # cross-chain collectives + a shared step size that tracks the
+        # slowest chain) and larger chunks don't help (chunk 250:
+        # sample_s 90 s vs 88 s).
         model = M.glmm_large()
         cfg = SamplerConfig(1000, 2000, sampler=NUTS(max_depth=10))
         # 128-chain cap: both 256- and 512-chain x 10002-param NUTS
