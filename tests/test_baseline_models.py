@@ -257,6 +257,36 @@ def test_device_diagnostics_match_host_oracle():
                     < 0.02 * h.effective_sample_size), (kwargs, h, d)
 
 
+def test_rank_cross_check_fallback_wiring(monkeypatch):
+    """When the device rank formulations disagree (the XLA:TPU
+    miscompile guard), diagnostics must warn and return the f64 host
+    pipeline's values.  Simulated by forcing the ok flag False."""
+    import warnings
+
+    from rainier_tpu.core import trace as T
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(4, 300, 3))
+    tr = T.Trace(x.astype(np.float32), None, None, None)
+    want = tr.diagnostics(rank_normalized=True, device=False)
+
+    real = T._diagnostics_device
+
+    def fake(chains, max_lag, split, rank_normalized):
+        r, e, _ = real(chains, max_lag, split, rank_normalized)
+        # poison the device values too: the fallback must not use them
+        return r * np.nan, e * np.nan, np.asarray(False)
+
+    monkeypatch.setattr(T, "_diagnostics_device", fake)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = tr.diagnostics(rank_normalized=True)
+    assert any("cross-check" in str(x.message) for x in w)
+    for g, h in zip(got, want):
+        assert g.r_hat == h.r_hat
+        assert g.effective_sample_size == h.effective_sample_size
+
+
 def test_rank_lanes_chunked_path_matches_host(monkeypatch):
     """The sequential lane-chunked rank path (big-trace HBM guard in
     _diagnostics_device) must produce the same diagnostics as the f64
