@@ -189,6 +189,31 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size, n_steps: int,
     if stream_columns and not row_tile:
         raise ValueError("stream_columns requires row_tile (tiles are "
                          "the DMA unit)")
+    # true (unpadded) width of each 2-D column, for the in-kernel loads
+    col_widths = tuple(int(c.shape[1]) if c.ndim == 2 else None
+                       for c in columns)
+    if stream_columns:
+        # Mosaic rejects DMA memref slices whose minor dimension is not
+        # 128-lane aligned ("Slice shape along dimension 1 must be
+        # aligned to tiling (128)", found compiling the streamed path on
+        # real v5e — interpret-mode CI cannot see it).  Pad streamed 2-D
+        # columns to a lane multiple so the HBM→VMEM tile copies are
+        # full-width; the kernel loads tiles back at the true width via
+        # a ref slice (which Mosaic does lower).  Costs DMA bandwidth
+        # proportional to 128/width for narrow matrices — data models
+        # default to the scan path anyway (docs/performance.md rule 6).
+        # 1-D columns stream as width-1 2-D (Mosaic: "DMA source and
+        # target tiling mismatch for 1D tiles"); the kernel collapses
+        # the minor dim back on load (col_widths[j] == 0 marks these)
+        col_widths = tuple(0 if c.ndim == 1 else w
+                           for c, w in zip(columns, col_widths))
+        columns = tuple(c[:, None] if c.ndim == 1 else c
+                        for c in columns)
+        columns = tuple(
+            jnp.pad(c, ((0, 0), (0, _round_up(int(c.shape[1]), 128)
+                                 - int(c.shape[1]))))
+            if int(c.shape[1]) % 128 else c
+            for c in columns)
     if col_bytes > VMEM_COLUMN_BUDGET and not stream_columns:
         raise ValueError(
             f"columns need {col_bytes / 2**20:.1f} MiB of VMEM "
@@ -309,9 +334,21 @@ def fused_hmc(lp_fn: Callable, q0, *, step_size, n_steps: int,
 
                     for d in _dmas(slot, t):
                         d.wait()
+                    # load each tile at its TRUE width: buffers are
+                    # lane-padded for the DMA (see the stream_columns
+                    # padding note above); a static ref slice narrows
+                    # back before the load, and width marker 0 means
+                    # the column was 1-D (collapse the width-1 lane)
+                    def _load_tile(b, w):
+                        if w == 0:
+                            return b[slot, :, 0]
+                        if w is None or w == b.shape[2]:
+                            return b[slot]
+                        return b.at[slot, :, :w][...]
+
                     cols_t = tuple(
-                        b[slot, 0] if r.ndim == 1 else b[slot]
-                        for r, b in zip(col_refs, col_bufs))
+                        _load_tile(b, w)
+                        for b, w in zip(col_bufs, col_widths))
                 else:
                     # slice the VMEM column *refs* (Mosaic lowers pl.ds
                     # ref reads; dynamic_slice on materialized values it

@@ -137,8 +137,16 @@ def test_fused_hmc_row_tiled_matches_untiled():
     qf0, s0, a0, d0 = fused_hmc(lp_full, q0, columns=(X, ys), **kw)
     qf1, s1, a1, d1 = fused_hmc(lp_tile, q0, columns=(X, ys),
                                 row_tile=1024, prior_fn=prior, **kw)
-    # identical accept decisions short-run: trajectories track closely
-    assert float(jnp.max(jnp.abs(qf0 - qf1))) < 1e-3
+    # tiled summation reorders f32 additions, so borderline Metropolis
+    # accepts can flip on real hardware and the flipped chains walk away
+    # (interpret mode reproduces the order exactly; v5e measured 1-4
+    # flipped chains of 128 in 40 iterations).  Require near-total
+    # agreement rather than bitwise — the *density identity* itself is
+    # checked exactly by _verify_split and the streamed-vs-tiled test:
+    # >= 90% of chains end at matching positions, aggregate accept
+    # rates match, and the tiled path stays divergence-free.
+    per_chain = np.max(np.abs(np.asarray(qf0 - qf1)), axis=0)
+    assert float(np.mean(per_chain < 1e-3)) >= 0.90, per_chain
     assert float(jnp.max(jnp.abs(a0 - a1))) < 0.05
     assert float(jnp.sum(d1)) == 0.0
 
