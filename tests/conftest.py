@@ -28,3 +28,20 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def require_devices(n: int):
+    """Skip when the attached backend has fewer than n devices (mesh
+    tests run on the 8-virtual-device CPU CI config; a single real TPU
+    chip legitimately cannot shard)."""
+    if jax.device_count() < n:
+        pytest.skip(f"needs >= {n} devices "
+                    f"(have {jax.device_count()})")
+
+
+def require_cpu():
+    """Skip on non-CPU backends: bit-pinned goldsets and f64 oracle
+    comparisons are defined on the deterministic CPU backend only."""
+    if jax.default_backend() != "cpu":
+        pytest.skip("CPU-backend-pinned test (bit determinism / f64 "
+                    "oracle)")

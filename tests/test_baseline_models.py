@@ -8,6 +8,8 @@ import pytest
 import rainier_tpu as rt
 from rainier_tpu.sampler import NUTS, SamplerConfig, HMC
 
+from conftest import require_cpu, require_devices  # noqa: E402
+
 
 def test_eight_schools_nuts():
     """Eight-schools hierarchical normal with NUTS + full adaptation
@@ -54,6 +56,7 @@ def test_funnel_hmc_reference_config():
 def test_logistic_regression_sharded():
     """Logistic regression with data-sharded likelihood (BASELINE config
     4, scaled down for CI) — posterior must recover the coefficients."""
+    require_devices(2)
     from rainier_tpu.compute import real as R
     from rainier_tpu.parallel import make_mesh
 

@@ -16,6 +16,8 @@ import pytest
 
 from goldset_zoo import goldset_run, zoo
 
+from conftest import require_cpu, require_devices  # noqa: E402
+
 GOLD_PATH = os.path.join(os.path.dirname(__file__), "goldsets",
                          "goldsets.json")
 
@@ -27,6 +29,7 @@ ZOO = dict(zoo())
 
 @pytest.mark.parametrize("name", sorted(GOLDSETS))
 def test_goldset(name):
+    require_cpu()
     golden = GOLDSETS[name]
     samples, true_stat = goldset_run(ZOO[name])
     assert np.isclose(true_stat, golden["true_stat"], rtol=1e-6), name

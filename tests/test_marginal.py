@@ -70,6 +70,9 @@ def test_bernoulli_marginal_matches_hand_logsumexp():
 def test_marginal_gradient_matches_finite_differences():
     """d/dmu of the marginal mixture density, XLA vs central differences
     on the interpreted oracle (the RealTest four-way pattern)."""
+    from conftest import require_cpu
+
+    require_cpu()  # FD tolerances assume the f64-capable CPU backend
     mu = R.parameter(lambda p: R.zero)
     m = marginalize(rt.Bernoulli(0.4),
                     lambda z: rt.Normal(mu if z == 1 else -mu,

@@ -13,6 +13,8 @@ from rainier_tpu.parallel import (load_checkpoint, make_mesh, resume_config,
                                   save_checkpoint, shard_columns)
 from rainier_tpu.sampler import HMC, SamplerConfig
 
+from conftest import require_cpu, require_devices  # noqa: E402
+
 
 @pytest.fixture(scope="module")
 def model():
@@ -27,6 +29,7 @@ def model():
 
 
 def test_mesh_construction():
+    require_devices(2)
     mesh = make_mesh(n_chain_shards=4, n_data_shards=2)
     assert dict(mesh.shape) == {"chains": 4, "data": 2}
     with pytest.raises(ValueError):
@@ -34,6 +37,7 @@ def test_mesh_construction():
 
 
 def test_sharded_sampling_matches_unsharded(model):
+    require_devices(2)
     cfg = SamplerConfig(warmup_iterations=100, iterations=200,
                         sampler=HMC(5))
     mesh = make_mesh(n_chain_shards=4, n_data_shards=2)
@@ -50,6 +54,7 @@ def test_sharded_sampling_matches_unsharded(model):
 
 
 def test_data_sharding_preserves_density(model):
+    require_devices(2)
     mesh = make_mesh(n_chain_shards=4, n_data_shards=2)
     cd = model.density()
     cols = cd.column_values()
@@ -63,6 +68,7 @@ def test_data_sharding_preserves_density(model):
 
 
 def test_pooled_adaptation_on_mesh(model):
+    require_devices(2)
     mesh = make_mesh(n_chain_shards=8, n_data_shards=1)
     cfg = SamplerConfig(warmup_iterations=150, iterations=100,
                         sampler=HMC(5), pooled_adaptation=True)

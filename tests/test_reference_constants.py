@@ -72,8 +72,12 @@ def test_dual_avg_shrinkage_target():
     import pytest
 
     s = dualavg.dual_avg_init(0.25)
+    # rel=1e-4: TPU f32 log is only ~2.5e-5-accurate (measured on v5e:
+    # 0.9163132 vs 0.9162907); this is a constants-drift guard, not a
+    # precision test — any actual formula change moves the value by
+    # O(1)
     assert float(s.shrinkage_target) == pytest.approx(
-        math.log(10.0 * 0.25), rel=1e-6)
+        math.log(10.0 * 0.25), rel=1e-4)
 
 
 # Deliberate deviations (documented, not drift):

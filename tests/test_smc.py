@@ -16,6 +16,8 @@ from rainier_tpu.parallel import make_mesh
 from rainier_tpu.sampler.smc import (SMCConfig, run_smc, smc,
                                      systematic_resample)
 
+from conftest import require_cpu, require_devices  # noqa: E402
+
 
 def test_systematic_resample_concentrated():
     log_w = jnp.full((64,), -jnp.inf).at[17].set(0.0)
@@ -102,6 +104,7 @@ def test_run_smc_standalone_density():
 
 
 def test_smc_sharded_mesh(conjugate):
+    require_devices(2)
     model, post_mean, post_var, log_z = conjugate
     mesh = make_mesh(n_chain_shards=8, n_data_shards=1)
     trace, res = smc(model, SMCConfig(n_particles=2048, mutation_steps=2),
