@@ -45,6 +45,9 @@ def _runnable(block):
 
 @pytest.mark.parametrize("name", ALL_PAGES)
 def test_doc_blocks_execute(name, tmp_path, monkeypatch):
+    from conftest import require_cpu
+
+    require_cpu()  # examples assume the 8-virtual-device CPU CI config
     blocks = _blocks(name)
     if not blocks:
         pytest.skip(f"{name} is prose/reference-only (no python blocks)")
